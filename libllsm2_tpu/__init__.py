@@ -1,0 +1,29 @@
+"""libllsm2_tpu: a TPU-native speech analysis/modification/synthesis
+framework with the capabilities of Sleepwalking/libllsm2, built from
+scratch on JAX/XLA/Pallas.  See SURVEY.md for the reference layer map this
+framework mirrors and README.md for the design."""
+
+from .config import (AnalysisOptions, ChunkConf, SynthesisOptions,
+                     create_aoptions, create_soptions)
+from .container import (Chunk, create_chunk, cumulative_cycles,
+                        phase_propagate, phase_sync)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AnalysisOptions", "ChunkConf", "SynthesisOptions",
+    "create_aoptions", "create_soptions",
+    "Chunk", "create_chunk", "cumulative_cycles",
+    "phase_propagate", "phase_sync",
+    "analyze", "synthesize",
+]
+
+
+def analyze(*args, **kw):
+    from .models.layer0 import analyze as _a
+    return _a(*args, **kw)
+
+
+def synthesize(*args, **kw):
+    from .models.layer0 import synthesize as _s
+    return _s(*args, **kw)

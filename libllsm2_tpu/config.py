@@ -1,0 +1,123 @@
+"""Configuration dataclasses for the TPU-native LLSM rebuild.
+
+These mirror the reference's option structs and self-describing chunk
+configuration (reference: llsm.h -> llsm_aoptions / llsm_soptions /
+LLSM_CONF_* conf-container entries; see SURVEY.md section 5 "Config /
+flag system").  All configs are frozen (hashable) so they can be passed
+as static arguments to jitted functions.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkConf:
+    """Self-describing configuration carried with every chunk.
+
+    Mirrors the reference's integer-keyed conf container entries
+    (llsm.h -> LLSM_CONF_NFRM/THOP/MAXNHAR/MAXNHAR_E/NPSD/NCHANNEL/
+    CHANFREQ/NOSWARP/LIPRADIUS/FNYQ/NSPEC) as a frozen dataclass.
+    Unlike the C reference the frame count is NOT part of the conf --
+    it is the leading axis of the chunk arrays -- so one conf value can
+    describe a whole batch of utterances.
+    """
+
+    fs: float = 16000.0          # sample rate [Hz]
+    thop: float = 0.005          # hop (frame period) [s]; thop*fs must be integral
+    maxnhar: int = 80            # max number of harmonics (slot k = harmonic (k+1)*f0)
+    maxnhar_e: int = 4           # max harmonics of the band-wise temporal noise envelope
+    npsd: int = 128              # number of warped-frequency PSD bins
+    nchannel: int = 4            # number of noise-envelope channels
+    chanfreq: Tuple[float, ...] = (2000.0, 4000.0, 6000.0)  # channel boundaries [Hz]
+    noswarp: float = 15000.0     # frequency-warping constant for the noise PSD axis
+    lip_radius: float = 0.015    # lip radiation model radius [m] (layer 1)
+    nspec: int = 257             # layer-1 vocal-tract magnitude bins (= nfft//2+1)
+    fnyq: float = 8000.0         # upper frequency bound of the harmonic model [Hz]
+    f0_floor: float = 40.0       # lowest F0 the analysis windows are sized for [Hz]
+    f0_ceil: float = 600.0       # highest F0 considered (PbP pulse budget, F0 tracking)
+    rel_winsize: float = 4.0     # analysis window length in F0 periods
+
+    # ---- derived static quantities -------------------------------------
+    @property
+    def nhop(self) -> int:
+        n = int(round(self.thop * self.fs))
+        return max(n, 1)
+
+    @property
+    def halfwin_max(self) -> int:
+        """Max half-window in samples (pitch-synchronous window at f0_floor)."""
+        return int(math.ceil(self.rel_winsize * self.fs / (2.0 * self.f0_floor)))
+
+    @property
+    def winlen_max(self) -> int:
+        """Static gather width for pitch-synchronous frames (odd)."""
+        return 2 * self.halfwin_max + 1
+
+    @property
+    def nfft_spec(self) -> int:
+        """FFT size implied by nspec (layer-1 vocal tract grid)."""
+        return 2 * (self.nspec - 1)
+
+    @property
+    def nfft_noise(self) -> int:
+        """FFT size for per-frame noise WOLA segments (window = 2 hops)."""
+        return _round_up(2 * self.nhop, 2)
+
+    @property
+    def chan_edges(self) -> Tuple[float, ...]:
+        """Full channel boundary list, 0 .. fs/2 inclusive."""
+        return (0.0,) + tuple(self.chanfreq) + (self.fs / 2.0,)
+
+    def validate(self) -> None:
+        assert abs(self.thop * self.fs - round(self.thop * self.fs)) < 1e-6, (
+            "thop * fs must be an integer number of samples")
+        assert len(self.chanfreq) == self.nchannel - 1, (
+            "chanfreq must list nchannel-1 interior boundaries")
+        assert self.fnyq <= self.fs / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalysisOptions:
+    """Analysis configuration (reference: llsm.h -> llsm_aoptions,
+    llsm_create_aoptions defaults)."""
+
+    conf: ChunkConf = ChunkConf()
+    hm_method: str = "czt"       # "czt" | "dft"  (reference: LLSM_AOPTION_HMCZT/HMPP)
+    f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
+    # envelope fitting window, in hops, for the noise temporal envelopes
+    env_winsize_hops: int = 4
+
+    @property
+    def fs(self) -> float:
+        return self.conf.fs
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthesisOptions:
+    """Synthesis configuration (reference: llsm.h -> llsm_soptions)."""
+
+    fs: float = 16000.0          # output sample rate (must equal conf.fs for now)
+    noise_seed: int = 0x5eed     # PRNG seed for the stochastic noise component
+    use_pallas: bool = False     # lower the oscillator bank to a Pallas kernel
+
+
+def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:
+    """Reference-parity constructor (llsm_create_aoptions)."""
+    conf_fields = {f.name for f in dataclasses.fields(ChunkConf)}
+    conf_kw = {k: v for k, v in kw.items() if k in conf_fields}
+    opt_kw = {k: v for k, v in kw.items() if k not in conf_fields}
+    conf = ChunkConf(fs=fs, **conf_kw)
+    conf.validate()
+    return AnalysisOptions(conf=conf, **opt_kw)
+
+
+def create_soptions(fs: float = 16000.0, **kw) -> SynthesisOptions:
+    """Reference-parity constructor (llsm_create_soptions)."""
+    return SynthesisOptions(fs=fs, **kw)

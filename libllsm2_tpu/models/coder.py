@@ -1,0 +1,109 @@
+"""Fixed-width frame coder for ML interop (reference: coder.c ->
+llsm_create_coder / llsm_coder_encode / llsm_coder_decode; SURVEY.md 3.5).
+
+Encodes a layer-1 frame into one fixed-dimension float vector -- F0,
+Rd, band-envelope summary, vocal-tract magnitude resampled to a chosen
+dimensionality, warped noise PSD resampled likewise -- and decodes back.
+The coder is intentionally lossy in phase: decoding regenerates phases
+from the vocal tract's minimum phase + LF source phase (vsphse = 0),
+which is exactly what makes the vectors usable as ML model targets.
+
+The exact upstream vector layout is marked [M] in SURVEY.md (mount was
+empty); this layout covers the same information set and is documented
+here as the interchange format.  Encode/decode are pure jnp pack/unpack,
+vmapped over frames, jit-safe.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ChunkConf
+from ..container import Chunk
+from ..ops import interp
+from . import layer1
+
+LOG_FLOOR = layer1.LOG_FLOOR
+
+
+@dataclasses.dataclass(frozen=True)
+class CoderConfig:
+    """Coder dimensions (reference: llsm_create_coder arguments)."""
+    conf: ChunkConf = ChunkConf()
+    nvt: int = 64       # vocal-tract magnitude dims in the vector
+    npsd_c: int = 32    # noise PSD dims in the vector
+
+    @property
+    def dims(self) -> int:
+        c = self.conf
+        return 2 + c.nchannel + self.nvt + self.npsd_c + c.nchannel * c.maxnhar_e
+
+    def layout(self):
+        """(name, start, size) triples describing the vector layout."""
+        c = self.conf
+        out, off = [], 0
+        for name, size in [("f0", 1), ("rd", 1), ("edc", c.nchannel),
+                           ("vtmagn", self.nvt), ("psd", self.npsd_c),
+                           ("eenv_a", c.nchannel * c.maxnhar_e)]:
+            out.append((name, off, size))
+            off += size
+        return out
+
+
+def _resample_lastdim(a: jnp.ndarray, m: int) -> jnp.ndarray:
+    n = a.shape[-1]
+    pos = jnp.linspace(0.0, n - 1.0, m)
+    return interp.interp1_uniform(a, pos)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def encode(coder: CoderConfig, chunk: Chunk) -> jnp.ndarray:
+    """Chunk (with layer-1 parameters) -> [nfrm, coder.dims] float vectors
+    (reference: coder.c -> llsm_coder_encode, applied chunk-wide)."""
+    assert chunk.has_layer1, "coder encodes layer-1 chunks"
+    c = coder.conf
+    n = chunk.nfrm
+    vt = jax.vmap(lambda v: _resample_lastdim(v, coder.nvt))(chunk.vtmagn)
+    psd_log = jnp.log(jnp.maximum(chunk.psd, 1e-20))
+    psd = jax.vmap(lambda v: _resample_lastdim(v, coder.npsd_c))(psd_log)
+    parts = [
+        chunk.f0[:, None],
+        chunk.rd[:, None],
+        chunk.edc,
+        vt,
+        psd,
+        chunk.eenv_a.reshape(n, -1),
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
+    """[nfrm, dims] vectors -> layer-1 chunk ready for chunk_to_layer0 /
+    PbP synthesis (reference: coder.c -> llsm_coder_decode)."""
+    c = coder.conf
+    n = vectors.shape[0]
+    sl = {name: vectors[:, off:off + size]
+          for name, off, size in coder.layout()}
+    f0 = sl["f0"][:, 0]
+    voiced = f0 > 0
+    vtmagn = jax.vmap(lambda v: _resample_lastdim(v, c.nspec))(sl["vtmagn"])
+    vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
+    psd = jnp.exp(jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]))
+    K = c.maxnhar
+    zk = jnp.zeros((n, K), jnp.float32)
+    chunk = Chunk(
+        f0=f0, ampl=zk, phse=zk, hm_mask=zk, psd=psd,
+        edc=sl["edc"],
+        eenv_a=sl["eenv_a"].reshape(n, c.nchannel, c.maxnhar_e),
+        eenv_p=jnp.zeros((n, c.nchannel, c.maxnhar_e), jnp.float32),
+        rd=sl["rd"][:, 0], vtmagn=vtmagn, vsphse=zk, conf=c)
+    # regenerate layer-0 harmonics from the decoded layer-1 parameters
+    chunk = layer1.chunk_to_layer0(chunk)
+    # phases in the decoded chunk are per-frame relative (vsphse = 0);
+    # propagate to restore inter-frame coherence for synthesis
+    from ..container import phase_propagate
+    return phase_propagate(chunk, +1)

@@ -1,0 +1,245 @@
+"""Layer-0 codec: harmonic + noise analysis and synthesis.
+
+TPU-native rebuild of the reference's core entry points (reference:
+layer0.c -> llsm_analyze / llsm_synthesize; call stacks in SURVEY.md
+sections 3.1/3.2).  The reference's per-frame sequential C loop becomes:
+
+  analysis:  one batched pitch-synchronous zoomed-DFT contraction over all
+             frames (ops/harmonics.harmonic_analysis), a full-signal
+             residual subtraction, an FFT-domain analytic filterbank for the
+             band envelopes, and a batched warped periodogram -- all under
+             one jit.
+  synthesis: a batched oscillator bank + reshape-only overlap-add for the
+             harmonic part, and a WOLA noise shaper (PRNG white noise ->
+             per-frame sqrt-Hann segments -> sqrt(PSD) filter -> band
+             envelope modulation) for the noise part.
+
+Everything is shape-static: the only data-dependent quantities (window
+lengths ~ 1/F0, harmonic counts ~ fnyq/F0) are handled by continuous
+window evaluation and validity masks (SURVEY.md section 7 design rules).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AnalysisOptions, ChunkConf, SynthesisOptions
+from ..container import Chunk
+from ..ops import harmonics, interp, spectral, warp, windows
+
+
+class SynthResult(NamedTuple):
+    """Reference: llsm_output (llsm.h) -- synthesized signal + components."""
+    y: jnp.ndarray
+    y_sin: jnp.ndarray
+    y_nos: jnp.ndarray
+    fs: float
+
+
+# ---------------------------------------------------------------------------
+# analysis
+# ---------------------------------------------------------------------------
+
+def _band_envelopes(residual: jnp.ndarray, conf: ChunkConf) -> jnp.ndarray:
+    """Per-channel temporal amplitude envelopes of the residual via the
+    FFT-domain analytic signal (reference: layer0.c noise pass -- bandpass +
+    envelope; we use one full-signal FFT and per-band one-sided masks).
+    Returns [nchannel, nx]."""
+    nx = residual.shape[-1]
+    nfft = spectral.next_pow2(nx)
+    X = jnp.fft.fft(residual, n=nfft)
+    f = jnp.fft.fftfreq(nfft, 1.0 / conf.fs)
+    edges = conf.chan_edges
+    envs = []
+    for c in range(conf.nchannel):
+        lo, hi = edges[c], edges[c + 1]
+        m = ((f >= lo) & (f < hi)).astype(jnp.float32)  # positive freqs only
+        analytic = jnp.fft.ifft(X * m * 2.0)
+        envs.append(jnp.abs(analytic)[:nx])
+    return jnp.stack(envs, axis=0)
+
+
+def _windowed_dc(x: jnp.ndarray, centers: jnp.ndarray, halfwidth: jnp.ndarray,
+                 halfwin_max: int, window: str = "hanning") -> jnp.ndarray:
+    """Windowed mean of x around each center (pitch-synchronous window)."""
+    H = halfwin_max
+    W = 2 * H + 1
+    xp = jnp.pad(x, (H, H + 1))
+    idx = centers[:, None] + jnp.arange(W)[None, :]
+    frames = xp[idx]
+    n_off = jnp.arange(W, dtype=jnp.float32) - H
+    w = windows.window_centered(window, n_off[None, :], halfwidth[:, None])
+    return jnp.sum(frames * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+
+
+def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
+                conf: ChunkConf) -> jnp.ndarray:
+    """Per-frame PSD of the residual on the warped axis [N, npsd]
+    (reference: dsputils.c warped PSD estimation)."""
+    nhop = conf.nhop
+    winlen = 4 * nhop
+    nfft = spectral.next_pow2(winlen)
+    frames = interp.fetch_frames(residual, centers, winlen // 2)[:, :winlen]
+    w = jnp.hanning(winlen).astype(jnp.float32)
+    pgram = spectral.periodogram(frames, w, nfft)           # [N, nfft//2+1]
+    band_mat = warp.warped_band_matrix(conf.npsd, nfft // 2 + 1, conf.fs,
+                                       conf.noswarp)        # [npsd, nbin]
+    return pgram @ band_mat.T
+
+
+def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
+    """Analyze a signal into an LLSM chunk (reference: layer0.c ->
+    llsm_analyze(aoptions, x, nx, fs, f0, nf0)).
+
+    Args:
+      opt: AnalysisOptions (contains the ChunkConf).
+      x:   [nx] mono signal at conf.fs.
+      f0:  [nfrm] F0 track at the frame rate 1/conf.thop (0 = unvoiced).
+    """
+    return _analyze_jit(opt, jnp.asarray(x, jnp.float32),
+                        jnp.asarray(f0, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk:
+    conf = opt.conf
+    nhop = conf.nhop
+    nfrm = f0.shape[0]
+    nx = nfrm * nhop
+    x = jnp.pad(x[:nx], (0, max(0, nx - x.shape[0])))
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+
+    if opt.f0_refine:
+        f0 = harmonics.refine_f0(
+            x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
+            rel_winsize=conf.rel_winsize)
+
+    # --- harmonic pass (SURVEY.md 3.1: the hot frame loop, vmapped away) ---
+    ampl, phse, mask = harmonics.harmonic_analysis(
+        x, f0, centers, fs=conf.fs, max_k=conf.maxnhar,
+        halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+        fnyq=conf.fnyq)
+
+    # --- residual: subtract the resynthesized harmonic part ---
+    segs = harmonics.oscillator_bank(f0, ampl, phse, mask, fs=conf.fs,
+                                     nhop=nhop)
+    y_sin = harmonics.overlap_add_half(segs, nhop, nx)
+    residual = x - y_sin
+
+    # --- noise pass: band envelopes + warped PSD ---
+    envs = _band_envelopes(residual, conf)                  # [C, nx]
+    f0s = jnp.where(f0 > 0, f0, 100.0)
+    halfwidth = jnp.clip(conf.rel_winsize * conf.fs / (2.0 * f0s), 2.0,
+                         float(conf.halfwin_max))
+
+    def env_chan(env_c):
+        edc = _windowed_dc(env_c, centers, halfwidth, conf.halfwin_max)
+        ea, ep, _ = harmonics.harmonic_analysis(
+            env_c, f0, centers, fs=conf.fs, max_k=conf.maxnhar_e,
+            halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+            fnyq=conf.fnyq)
+        return edc, ea, ep
+
+    edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)          # [C,N], [C,N,Ke]
+    edc = jnp.maximum(edc, 0.0).T                           # [N, C]
+    eenv_a = jnp.transpose(eenv_a, (1, 0, 2))               # [N, C, Ke]
+    eenv_p = jnp.transpose(eenv_p, (1, 0, 2))
+
+    psd = _warped_psd(residual, centers, conf)              # [N, npsd]
+
+    return Chunk(f0=f0, ampl=ampl, phse=phse, hm_mask=mask, psd=psd,
+                 edc=edc, eenv_a=eenv_a, eenv_p=eenv_p, conf=conf)
+
+
+# ---------------------------------------------------------------------------
+# synthesis
+# ---------------------------------------------------------------------------
+
+def _render_envelopes(chunk: Chunk, nx: int):
+    """Reconstruct per-channel temporal envelopes and their DC baseline from
+    edc + eenv harmonics via per-frame additive synthesis + OLA
+    (reference: layer0.c noise synthesis -- envelope reconstruction).
+    Returns (env [C, nx], base [C, nx])."""
+    conf = chunk.conf
+    nhop = conf.nhop
+    N, C, Ke = chunk.eenv_a.shape
+    emask = jnp.broadcast_to((chunk.f0 > 0)[:, None], (N, Ke)).astype(jnp.float32)
+
+    def chan(ea, ep, edc_c):
+        segs = harmonics.oscillator_bank(chunk.f0, ea, ep, emask,
+                                         fs=conf.fs, nhop=nhop)
+        T = 2 * nhop
+        w_ola = 0.5 - 0.5 * jnp.cos(
+            2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
+        dc_segs = edc_c[:, None] * w_ola[None, :].astype(jnp.float32)
+        env = harmonics.overlap_add_half(segs + dc_segs, nhop, nx)
+        base = harmonics.overlap_add_half(
+            jnp.broadcast_to(dc_segs, (N, T)), nhop, nx)
+        return env, base
+
+    env, base = jax.vmap(chan, in_axes=(1, 1, 1))(
+        chunk.eenv_a, chunk.eenv_p, chunk.edc)
+    return jnp.maximum(env, 0.0), jnp.maximum(base, 1e-8)
+
+
+def _synth_noise(chunk: Chunk, nx: int, key) -> jnp.ndarray:
+    """Stochastic noise component: WOLA-filtered white noise shaped by the
+    warped PSD, band-split, then modulated by the reconstructed temporal
+    envelopes (reference: layer0.c noise synthesis path)."""
+    conf = chunk.conf
+    nhop = conf.nhop
+    N = chunk.nfrm
+    T = 2 * nhop
+    nbin = T // 2 + 1
+
+    noise = jax.random.normal(key, (nx,), jnp.float32)
+    centers = jnp.arange(N, dtype=jnp.int32) * nhop
+    frames = interp.fetch_frames(noise, centers, nhop)[:, :T]   # [N, T]
+
+    # sqrt-Hann WOLA pair: perfect reconstruction at 50% overlap
+    w = jnp.sqrt(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T))
+    w = w.astype(jnp.float32)
+
+    pos = warp.unwarp_interp_positions(nbin, conf.npsd, conf.fs, conf.noswarp)
+    gain = jnp.sqrt(jnp.maximum(
+        jax.vmap(lambda p: interp.interp1_uniform(p, pos))(chunk.psd), 0.0))
+
+    spec = jnp.fft.rfft(frames * w[None, :], n=T)               # [N, nbin]
+    f = jnp.arange(nbin) * conf.fs / T
+    edges = conf.chan_edges
+    env, base = _render_envelopes(chunk, nx)                    # [C, nx]
+
+    y = jnp.zeros(nx, jnp.float32)
+    for c in range(conf.nchannel):
+        m = ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
+        shaped = jnp.fft.irfft(spec * gain * m[None, :], n=T) * w[None, :]
+        band = harmonics.overlap_add_half(shaped, nhop, nx)
+        y = y + band * (env[c] / base[c])
+    return y
+
+
+def synthesize(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
+    """Synthesize a chunk back to a waveform (reference: layer0.c ->
+    llsm_synthesize(soptions, chunk))."""
+    return _synthesize_jit(opt, chunk)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
+    conf = chunk.conf
+    assert abs(opt.fs - conf.fs) < 1e-6, (
+        "resampling on synthesis not supported yet; set soptions.fs = conf.fs")
+    nhop = conf.nhop
+    nx = chunk.nfrm * nhop
+
+    segs = harmonics.oscillator_bank(chunk.f0, chunk.ampl, chunk.phse,
+                                     chunk.hm_mask, fs=conf.fs, nhop=nhop)
+    y_sin = harmonics.overlap_add_half(segs, nhop, nx)
+
+    key = jax.random.PRNGKey(opt.noise_seed)
+    y_nos = _synth_noise(chunk, nx, key)
+
+    return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=conf.fs)

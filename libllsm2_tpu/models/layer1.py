@@ -1,0 +1,180 @@
+"""Layer-1 codec: source-filter re-parameterization of layer-0 frames.
+
+TPU-native rebuild of the reference's layer-1 conversion (reference:
+layer1.c -> llsm_chunk_tolayer1 / llsm_chunk_tolayer0 /
+llsm_frame_tolayer1 / llsm_frame_tolayer0; call stack in SURVEY.md 3.3).
+
+Per voiced frame: fit the LF glottal model Rd by matching the measured
+low-harmonic amplitude tilt against a precomputed Rd->spectrum table
+(vectorized grid search + parabolic refinement, replacing the reference's
+per-frame scalar search); divide the source and lip radiation out of the
+harmonic amplitudes to get the vocal-tract magnitude envelope, resampled
+to conf.nspec bins; store the residual of the measured phase against the
+vocal tract's minimum phase + LF phase as the voice-source phase.
+
+Because the vocal-tract envelope is F0-independent, editing F0 between
+tolayer1 and tolayer0 pitch-shifts with formants preserved -- the
+mechanism behind BASELINE config 4.  The whole conversion is vmapped over
+frames; the only FFTs are the cepstral minimum-phase reconstructions.
+
+Conventions vs the reference: vtmagn is stored as LOG magnitude on the
+rfft grid of nfft = 2*(nspec-1) (the reference stores linear magnitude);
+the Rd scalar and vsphse layout match the reference's frame entries.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ChunkConf
+from ..container import Chunk
+from ..ops import interp, lf, spectral
+
+SPEED_OF_SOUND = 343.0
+RD_GRID_SIZE = 64
+RD_MIN, RD_MAX = 0.1, 3.0
+RD_FIT_HARMONICS = 10
+LOG_FLOOR = -23.0  # ~ -200 dB
+
+
+def _rd_grid():
+    return jnp.exp(jnp.linspace(jnp.log(RD_MIN), jnp.log(RD_MAX),
+                                RD_GRID_SIZE)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _source_tables(max_k: int):
+    """Precompute, for the static Rd grid, the LF source log-magnitude and
+    phase at normalized harmonic frequencies 1..max_k, normalized so the
+    fundamental has unit magnitude.  Returns numpy-backed jnp constants
+    ([G], [G, K] logmag, [G, K] phase)."""
+    grid = _rd_grid()
+    params = lf.lf_from_rd(grid)                       # batched over G
+    f_norm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+    spec = lf.lf_spectrum(f_norm[None, :], jax.tree.map(
+        lambda a: a[:, None], params))                 # [G, K]
+    mag0 = jnp.abs(spec[:, :1])
+    spec = spec / jnp.maximum(mag0, 1e-12)
+    return grid, jnp.log(jnp.maximum(jnp.abs(spec), 1e-12)), jnp.angle(spec)
+
+
+def lip_radiation_logmag(f, lip_radius: float):
+    """Log-magnitude of the lip radiation load, |L| ~ omega * r / c
+    (reference: layer1.c lip radiation term with llsm_aoptions.lip_radius);
+    phase is +pi/2 (differentiator)."""
+    return jnp.log(jnp.maximum(
+        2.0 * jnp.pi * f * lip_radius / SPEED_OF_SOUND, 1e-12))
+
+
+def fit_rd(log_ampl: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Estimate Rd per frame from the low-harmonic amplitude tilt.
+
+    log_ampl, mask: [N, K].  Returns rd [N].  Grid search over the static
+    Rd table + parabolic refinement (reference: layer1.c Rd fit; the exact
+    upstream objective is marked [M] in SURVEY.md so this uses the robust
+    tilt-matching form -- round-trip exactness does not depend on it
+    because vtmagn/vsphse absorb any source mismatch).
+    """
+    grid, src_logmag, _ = _source_tables(log_ampl.shape[-1])
+    KR = RD_FIT_HARMONICS
+    d = (log_ampl - log_ampl[..., :1])[..., :KR]            # measured tilt
+    s = (src_logmag - src_logmag[:, :1])[:, :KR]            # [G, KR]
+    wgt = (mask[..., :KR] / jnp.arange(1, KR + 1, dtype=jnp.float32))
+    err = jnp.sum(wgt[:, None, :] * (d[:, None, :] - s[None, :, :]) ** 2,
+                  axis=-1)                                  # [N, G]
+    k = jnp.argmin(err, axis=-1)
+    kf, _ = spectral.qifft(-err, k)
+    log_rd = jnp.interp(kf, jnp.arange(RD_GRID_SIZE, dtype=jnp.float32),
+                        jnp.log(grid))
+    return jnp.exp(log_rd)
+
+
+def _source_at_harmonics(rd: jnp.ndarray, max_k: int):
+    """Interpolate the precomputed Rd tables at per-frame rd values.
+    Returns (logmag [N, K], phase [N, K])."""
+    grid, src_logmag, src_phase = _source_tables(max_k)
+    pos = (jnp.log(rd) - jnp.log(grid[0])) / (
+        jnp.log(grid[-1]) - jnp.log(grid[0])) * (RD_GRID_SIZE - 1)
+    pos = jnp.clip(pos, 0.0, RD_GRID_SIZE - 1.0)
+    lm = jax.vmap(lambda p: interp.interp1_uniform(src_logmag.T, p),
+                  in_axes=0)(pos)
+    ph = jax.vmap(lambda p: interp.interp1_uniform(src_phase.T, p),
+                  in_axes=0)(pos)
+    return lm, ph
+
+
+def _wrap(ph):
+    return jnp.arctan2(jnp.sin(ph), jnp.cos(ph))
+
+
+@functools.partial(jax.jit, static_argnums=())
+def chunk_to_layer1(chunk: Chunk) -> Chunk:
+    """Attach layer-1 parameters (rd, vtmagn, vsphse) to a layer-0 chunk
+    (reference: layer1.c -> llsm_chunk_tolayer1(chunk, nfft))."""
+    conf = chunk.conf
+    N, K = chunk.ampl.shape
+    voiced = chunk.f0 > 0
+    f0s = jnp.where(voiced, chunk.f0, 100.0)
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    fk = kharm[None, :] * f0s[:, None]                      # [N, K]
+
+    log_ampl = jnp.where(chunk.hm_mask > 0,
+                         jnp.log(jnp.maximum(chunk.ampl, 1e-10)), LOG_FLOOR)
+    rd = fit_rd(log_ampl, chunk.hm_mask)
+    rd = jnp.where(voiced, rd, 1.0)
+
+    src_logmag, src_phase = _source_at_harmonics(rd, K)
+    lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)
+
+    # vocal-tract log magnitude at the harmonic points
+    vt_k = log_ampl - src_logmag - lip_logmag               # [N, K]
+
+    # hold the last valid harmonic's value for masked slots, then resample
+    # onto the uniform nspec grid
+    idx_last = jnp.maximum(jnp.sum(chunk.hm_mask, axis=-1).astype(jnp.int32)
+                           - 1, 0)
+    last_val = jnp.take_along_axis(vt_k, idx_last[:, None], axis=-1)
+    vt_k = jnp.where(chunk.hm_mask > 0, vt_k, last_val)
+
+    fbins = jnp.linspace(0.0, conf.fs / 2.0, conf.nspec)
+    vtmagn = jax.vmap(lambda xp, fp: jnp.interp(fbins, xp, fp))(fk, vt_k)
+    vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
+
+    # voice-source phase: measured - VT minimum phase - LF phase - radiation
+    vt_phase_grid = spectral.minphase_phase(vtmagn)         # [N, nspec]
+    pos = fk / (conf.fs / 2.0) * (conf.nspec - 1)
+    vt_phase_k = jax.vmap(interp.interp1_uniform)(vt_phase_grid, pos)
+    vsphse = _wrap(chunk.phse - vt_phase_k - src_phase - 0.5 * jnp.pi)
+    vsphse = vsphse * chunk.hm_mask
+
+    return chunk.replace(rd=rd, vtmagn=vtmagn, vsphse=vsphse)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def chunk_to_layer0(chunk: Chunk) -> Chunk:
+    """Regenerate layer-0 harmonics from the layer-1 parameters, honoring
+    any edits to f0/rd/vtmagn (reference: layer1.c -> llsm_chunk_tolayer0).
+    """
+    assert chunk.has_layer1, "chunk has no layer-1 parameters"
+    conf = chunk.conf
+    N, K = chunk.ampl.shape
+    voiced = chunk.f0 > 0
+    f0s = jnp.where(voiced, chunk.f0, 100.0)
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    fk = kharm[None, :] * f0s[:, None]
+    mask = (voiced[:, None] & (fk < conf.fnyq)).astype(jnp.float32)
+
+    src_logmag, src_phase = _source_at_harmonics(chunk.rd, K)
+    lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)
+
+    pos = fk / (conf.fs / 2.0) * (conf.nspec - 1)
+    vt_k = jax.vmap(interp.interp1_uniform)(chunk.vtmagn, pos)
+    vt_phase_grid = spectral.minphase_phase(chunk.vtmagn)
+    vt_phase_k = jax.vmap(interp.interp1_uniform)(vt_phase_grid, pos)
+
+    ampl = jnp.exp(vt_k + src_logmag + lip_logmag) * mask
+    phse = _wrap(vt_phase_k + src_phase + 0.5 * jnp.pi
+                 + chunk.vsphse) * mask
+    return chunk.replace(ampl=ampl, phse=phse, hm_mask=mask)

@@ -1,0 +1,100 @@
+"""Spectral primitives: chirp-Z transform, quadratic peak interpolation,
+minimum-phase reconstruction (reference: ciglet.h -> czt/iczt, qifft,
+minphase).  Everything is static-shape and vmap-safe; phase terms are
+range-reduced to cycles-mod-1 before trig so float32 stays accurate on TPU
+(chirp phases grow as n^2; see SURVEY.md section 7 "Hard parts").
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _chirp(idx: jnp.ndarray, f_step) -> jnp.ndarray:
+    """exp(-1j * pi * f_step * idx^2) with phase range-reduced in cycles.
+
+    idx must be integer-valued and |idx|^2 < 2^24 so the square is exact in
+    float32.
+    """
+    ph = 0.5 * f_step * (idx.astype(jnp.float32) ** 2)
+    ph = ph - jnp.round(ph)
+    return jnp.exp(-2j * jnp.pi * ph.astype(jnp.float32))
+
+
+def czt(x: jnp.ndarray, m: int, f_step) -> jnp.ndarray:
+    """Chirp-Z transform along the last axis (Bluestein's algorithm).
+
+    Evaluates S_k = sum_n x_n exp(-2j pi f_step k n) for k = 0..m-1, i.e.
+    the DTFT sampled at frequencies k * f_step (in cycles/sample).
+    `f_step` may be a traced scalar (pitch-synchronous zoom).  Three FFTs of
+    static size; jit/vmap-safe.  Reference: ciglet.h -> czt.
+    """
+    n = x.shape[-1]
+    L = next_pow2(n + m - 1)
+    nn = jnp.arange(n)
+    kk = jnp.arange(L)
+    u = x.astype(jnp.complex64) * _chirp(nn, f_step)
+    # v_j = w^{-j^2/2} arranged circularly so that (u * v)[k] gives the sum.
+    j_idx = jnp.where(kk < m, kk, jnp.where(kk >= L - n + 1, kk - L, 0))
+    v = jnp.conj(_chirp(j_idx, f_step))
+    U = jnp.fft.fft(u, n=L)
+    V = jnp.fft.fft(v, n=L)
+    conv = jnp.fft.ifft(U * V)[..., :m]
+    return conv * _chirp(jnp.arange(m), f_step)
+
+
+def qifft(logmag: jnp.ndarray, k: jnp.ndarray):
+    """Quadratic interpolation of a spectral peak at integer bin k
+    (reference: ciglet.h -> qifft).  Returns (refined_bin, refined_logmag).
+    Operates on the last axis; k is clamped to the valid interior."""
+    n = logmag.shape[-1]
+    k = jnp.clip(k, 1, n - 2)
+    a = jnp.take_along_axis(logmag, (k - 1)[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(logmag, k[..., None], axis=-1)[..., 0]
+    c = jnp.take_along_axis(logmag, (k + 1)[..., None], axis=-1)[..., 0]
+    denom = a - 2.0 * b + c
+    p = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (a - c) / denom, 0.0)
+    p = jnp.clip(p, -0.5, 0.5)
+    return k + p, b - 0.25 * (a - c) * p
+
+
+def minphase_phase(logmag: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-phase response from a log-magnitude half-spectrum.
+
+    logmag has nspec = nfft//2+1 bins on the rfft grid.  Returns the phase
+    (radians) of the minimum-phase system with that magnitude, computed via
+    the folded real cepstrum (reference: ciglet.h -> minphase).
+    """
+    nspec = logmag.shape[-1]
+    nfft = 2 * (nspec - 1)
+    ceps = jnp.fft.irfft(logmag, n=nfft)
+    fold = jnp.concatenate(
+        [
+            ceps[..., :1],
+            2.0 * ceps[..., 1 : nfft // 2],
+            ceps[..., nfft // 2 : nfft // 2 + 1],
+            jnp.zeros_like(ceps[..., nfft // 2 + 1 :]),
+        ],
+        axis=-1,
+    )
+    return jnp.fft.rfft(fold).imag
+
+
+def minphase_spectrum(logmag: jnp.ndarray) -> jnp.ndarray:
+    """Complex minimum-phase half-spectrum exp(logmag + i*minphase)."""
+    return jnp.exp(logmag.astype(jnp.complex64) + 1j * minphase_phase(logmag))
+
+
+def periodogram(frames: jnp.ndarray, window: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Windowed periodogram, power-per-bin convention normalized by sum(w^2)
+    so that unit-variance white noise gives a flat PSD of 1."""
+    wsumsq = jnp.sum(window**2)
+    spec = jnp.fft.rfft(frames * window, n=nfft)
+    return (spec.real**2 + spec.imag**2) / jnp.maximum(wsumsq, 1e-12)
