@@ -1,0 +1,75 @@
+"""Benchmark: batched analyze+resynthesis throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+500x realtime per chip (the reference publishes no numbers; BASELINE.md).
+Runs on whatever jax's default backend is (the real TPU under the driver;
+CPU if JAX_PLATFORMS=cpu).
+"""
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_X_REALTIME = 500.0
+
+
+def main(batch=16, duration=2.0, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
+    from libllsm2_tpu.parallel import corpus
+    from libllsm2_tpu.utils import testsig
+
+    conf = ChunkConf(f0_floor=70.0)   # window budget sized for speech F0s
+    opt = dataclasses.replace(create_aoptions(), conf=conf)
+    sopt = create_soptions()
+
+    xs, f0s = [], []
+    for i in range(batch):
+        x, f0 = testsig.make_test_utterance(duration=duration, seed=i,
+                                            noise_level=0.05)
+        xs.append(x)
+        f0s.append(f0)
+    x = jnp.asarray(np.stack(xs), jnp.float32)
+    f0 = jnp.asarray(np.stack(f0s), jnp.float32)
+    nxv = jnp.full((batch,), x.shape[1], jnp.int32)
+
+    # compile + warm up
+    y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv)
+    y.block_until_ready()
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv)
+        y.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    audio_sec = batch * duration
+    value = audio_sec / dt
+    print(json.dumps({
+        "metric": "batched analyze+resynth throughput",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
+        "detail": {
+            "batch": batch, "duration_s": duration,
+            "best_step_s": round(dt, 4),
+            "mean_harmonic_snr_db": round(float(mean_snr), 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = float(v) if "." in v else int(v)
+    main(**kw)

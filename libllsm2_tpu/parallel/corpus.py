@@ -1,0 +1,108 @@
+"""Batched / sharded corpus processing (BASELINE config 5: 1000 mixed-
+length utterances, padded and bucketed, streaming analysis+synthesis on a
+v5e-8 mesh).
+
+The reference processes one utterance at a time in C; here a whole batch
+of same-bucket utterances is one jitted SPMD program: vmap over the batch
+axis, NamedSharding(batch) over the mesh, XLA all-gathers only at metric
+reduction.  Mixed lengths are handled by bucketing to a few frame counts
+(one compiled program per bucket) with length masks for the metrics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AnalysisOptions, SynthesisOptions
+from ..models import layer0
+from . import mesh as meshlib
+
+
+def _pipeline(opt: AnalysisOptions, sopt: SynthesisOptions, x, f0, nx_valid):
+    """analyze -> synthesize -> masked SNR metrics for ONE utterance."""
+    chunk = layer0._analyze_jit(opt, x, f0)
+    out = layer0._synthesize_jit(sopt, chunk)
+    n = x.shape[0]
+    m = (jnp.arange(n) < nx_valid).astype(jnp.float32)
+    err = (x - out.y_sin) * m
+    sig = x * m
+    snr = 10.0 * jnp.log10(
+        jnp.sum(sig**2) / jnp.maximum(jnp.sum(err**2), 1e-12))
+    return out.y, snr
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def batched_pipeline(opt: AnalysisOptions, sopt: SynthesisOptions,
+                     x: jnp.ndarray, f0: jnp.ndarray,
+                     nx_valid: jnp.ndarray):
+    """Batched analyze+synthesize: x [B, nx], f0 [B, N], nx_valid [B].
+
+    Returns (y [B, nx], snr [B], mean_snr).  Shard the inputs with
+    mesh.shard_batch before calling to run data-parallel: under jit, the
+    batch axis sharding propagates through the whole pipeline and the only
+    cross-device communication is the final mean (an XLA psum over ICI).
+    """
+    y, snr = jax.vmap(lambda a, b, c: _pipeline(opt, sopt, a, b, c))(
+        x, f0, nx_valid)
+    return y, snr, jnp.mean(snr)
+
+
+def make_buckets(lengths: Sequence[int], bucket_frames: Sequence[int]
+                 ) -> Dict[int, List[int]]:
+    """Assign utterance indices to the smallest bucket (in frames) that
+    fits; the longest bucket takes any overflow (truncation)."""
+    buckets: Dict[int, List[int]] = {b: [] for b in sorted(bucket_frames)}
+    bs = sorted(bucket_frames)
+    for i, L in enumerate(lengths):
+        for b in bs:
+            if L <= b:
+                buckets[b].append(i)
+                break
+        else:
+            buckets[bs[-1]].append(i)
+    return {b: idx for b, idx in buckets.items() if idx}
+
+
+def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
+               signals: Sequence[np.ndarray], f0s: Sequence[np.ndarray],
+               bucket_frames: Sequence[int] = (200, 400, 800, 1600),
+               batch_size: int = 64, mesh=None,
+               checkpoint: dict | None = None):
+    """Analyze+resynthesize a corpus with bucketed padding (config 5).
+
+    Yields per-batch dicts {"bucket", "indices", "snr"}.  `checkpoint` (a
+    mutable dict) records completed (bucket, batch) pairs so an interrupted
+    run resumes without recomputation -- the rebuild's analog of the
+    checkpoint/resume subsystem the reference lacks (SURVEY.md section 5).
+    """
+    nhop = opt.conf.nhop
+    nfrm_list = [len(f) for f in f0s]
+    buckets = make_buckets(nfrm_list, bucket_frames)
+    done = checkpoint.setdefault("done", set()) if checkpoint is not None else set()
+    for b, idxs in buckets.items():
+        for start in range(0, len(idxs), batch_size):
+            key = (b, start)
+            if key in done:
+                continue
+            sel = idxs[start:start + batch_size]
+            B = len(sel)
+            x = np.zeros((B, b * nhop), np.float32)
+            f0 = np.zeros((B, b), np.float32)
+            nxv = np.zeros((B,), np.int32)
+            for j, i in enumerate(sel):
+                nf = min(len(f0s[i]), b)
+                nsamp = min(len(signals[i]), b * nhop)
+                x[j, :nsamp] = signals[i][:nsamp]
+                f0[j, :nf] = f0s[i][:nf]
+                nxv[j] = nsamp
+            xj, f0j, nxj = jnp.asarray(x), jnp.asarray(f0), jnp.asarray(nxv)
+            if mesh is not None:
+                xj, f0j, nxj = meshlib.shard_batch((xj, f0j, nxj), mesh)
+            y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j, nxj)
+            done.add(key)
+            yield {"bucket": b, "indices": sel,
+                   "snr": np.asarray(snr), "y": y}

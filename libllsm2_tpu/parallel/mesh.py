@@ -1,0 +1,56 @@
+"""Device-mesh and sharding helpers.
+
+The reference has no parallelism at all (single-threaded C; SURVEY.md
+section 2 "Parallelism & distributed-communication components").  Scale-out
+is therefore a new first-class component of this rebuild, built the TPU way:
+a jax.sharding.Mesh with a "batch" axis (data parallelism over utterances,
+BASELINE config 5) and a "frame" axis (sequence parallelism over the frame
+axis of very long utterances); XLA inserts all collectives.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+FRAME_AXIS = "frame"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              frame_parallel: int = 1) -> Mesh:
+    """Mesh over the first n_devices, shaped (batch, frame).
+
+    frame_parallel > 1 carves a frame-parallel sub-axis for sharding the
+    frame/sample axis of single long utterances (SURVEY.md section 5
+    "Long-context / sequence parallelism").
+    """
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    assert n_devices % frame_parallel == 0
+    grid = np.array(devs[:n_devices]).reshape(
+        n_devices // frame_parallel, frame_parallel)
+    return Mesh(grid, (BATCH_AXIS, FRAME_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, ...] arrays: batch split over the batch axis."""
+    return NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def batch_frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, N, ...] arrays: batch x frame split."""
+    return NamedSharding(mesh, P(BATCH_AXIS, FRAME_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every [B, ...] leaf of a pytree with its batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

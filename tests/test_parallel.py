@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md section 2: parallelism is a new first-class component)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0
+from libllsm2_tpu.parallel import corpus, mesh as meshlib, seqparallel
+from libllsm2_tpu.utils import testsig
+
+
+def small_opt():
+    conf = ChunkConf(maxnhar=24, npsd=32, nspec=65, f0_floor=90.0,
+                     fnyq=6000.0)
+    return dataclasses.replace(create_aoptions(), conf=conf)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_pipeline_sharded():
+    opt = small_opt()
+    sopt = create_soptions()
+    B, dur = 8, 0.4
+    xs, f0s = [], []
+    for i in range(B):
+        x, f0 = testsig.make_test_utterance(duration=dur, seed=i)
+        xs.append(x)
+        f0s.append(f0)
+    x = jnp.asarray(np.stack(xs), jnp.float32)
+    f0 = jnp.asarray(np.stack(f0s), jnp.float32)
+    nxv = jnp.full((B,), x.shape[1], jnp.int32)
+
+    m = meshlib.make_mesh(8)
+    x, f0, nxv = meshlib.shard_batch((x, f0, nxv), m)
+    y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv)
+    assert y.shape == (B, x.shape[1])
+    assert float(mean_snr) > 15.0, float(mean_snr)
+    # outputs keep the batch sharding (no implicit gather)
+    assert not y.is_fully_replicated
+
+
+def test_run_corpus_bucketed_with_checkpoint():
+    opt = small_opt()
+    sopt = create_soptions()
+    rng = np.random.default_rng(0)
+    sigs, f0s = [], []
+    for i in range(12):
+        dur = float(rng.uniform(0.2, 0.5))
+        x, f0 = testsig.make_test_utterance(duration=dur, seed=i)
+        sigs.append(x)
+        f0s.append(f0)
+    ckpt = {}
+    results = list(corpus.run_corpus(opt, sopt, sigs, f0s,
+                                     bucket_frames=(64, 128),
+                                     batch_size=4, checkpoint=ckpt))
+    covered = sorted(i for r in results for i in r["indices"])
+    assert covered == list(range(12))
+    # resume: everything already done -> no new batches
+    results2 = list(corpus.run_corpus(opt, sopt, sigs, f0s,
+                                      bucket_frames=(64, 128),
+                                      batch_size=4, checkpoint=ckpt))
+    assert results2 == []
+
+
+def test_frame_sharded_synthesis_matches_single_device():
+    opt = small_opt()
+    sopt = create_soptions()
+    x, f0 = testsig.make_test_utterance(duration=0.8, seed=3)
+    chunk = layer0.analyze(opt, x, f0)
+    ref = layer0.synthesize(sopt, chunk)
+
+    m = meshlib.make_mesh(8, frame_parallel=8)
+    out = seqparallel.synthesize_frame_sharded(sopt, chunk, m)
+    np.testing.assert_allclose(np.asarray(out.y_sin), np.asarray(ref.y_sin),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(ref.y),
+                               atol=2e-3)
+
+
+def test_frame_sharded_analysis_matches_single_device():
+    opt = small_opt()
+    x, f0 = testsig.make_test_utterance(duration=0.8, seed=4)
+    ref = layer0.analyze(opt, x, f0)
+    m = meshlib.make_mesh(8, frame_parallel=8)
+    got = seqparallel.analyze_frame_sharded(opt, x, f0, m)
+    np.testing.assert_allclose(np.asarray(got.ampl), np.asarray(ref.ampl),
+                               atol=1e-4)
