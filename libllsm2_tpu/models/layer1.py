@@ -48,16 +48,24 @@ def _rd_grid():
 def _source_tables(max_k: int):
     """Precompute, for the static Rd grid, the LF source log-magnitude and
     phase at normalized harmonic frequencies 1..max_k, normalized so the
-    fundamental has unit magnitude.  Returns numpy-backed jnp constants
-    ([G], [G, K] logmag, [G, K] phase)."""
-    grid = _rd_grid()
-    params = lf.lf_from_rd(grid)                       # batched over G
-    f_norm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
-    spec = lf.lf_spectrum(f_norm[None, :], jax.tree.map(
-        lambda a: a[:, None], params))                 # [G, K]
-    mag0 = jnp.abs(spec[:, :1])
-    spec = spec / jnp.maximum(mag0, 1e-12)
-    return grid, jnp.log(jnp.maximum(jnp.abs(spec), 1e-12)), jnp.angle(spec)
+    fundamental has unit magnitude.  Returns numpy constants ([G],
+    [G, K] logmag, [G, K] phase).
+
+    ensure_compile_time_eval + numpy materialization keep the cached
+    tables trace-free even when first requested inside a jit trace (they
+    embed as constants in every downstream program)."""
+    import numpy as np
+    with jax.ensure_compile_time_eval():
+        grid = _rd_grid()
+        params = lf.lf_from_rd(grid)                   # batched over G
+        f_norm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+        spec = lf.lf_spectrum(f_norm[None, :], jax.tree.map(
+            lambda a: a[:, None], params))             # [G, K]
+        mag0 = jnp.abs(spec[:, :1])
+        spec = spec / jnp.maximum(mag0, 1e-12)
+        logmag = jnp.log(jnp.maximum(jnp.abs(spec), 1e-12))
+        phase = jnp.angle(spec)
+    return (np.asarray(grid), np.asarray(logmag), np.asarray(phase))
 
 
 def lip_radiation_logmag(f, lip_radius: float):
@@ -139,7 +147,18 @@ def chunk_to_layer1(chunk: Chunk) -> Chunk:
     vt_k = jnp.where(chunk.hm_mask > 0, vt_k, last_val)
 
     fbins = jnp.linspace(0.0, conf.fs / 2.0, conf.nspec)
+    pos_k = fk / (conf.fs / 2.0) * (conf.nspec - 1)
     vtmagn = jax.vmap(lambda xp, fp: jnp.interp(fbins, xp, fp))(fk, vt_k)
+    # Fixed-point correction: force the gridded envelope, when evaluated
+    # back at the harmonic frequencies (exactly as chunk_to_layer0 does),
+    # to reproduce the measured values -- this is what makes the
+    # layer0->layer1->layer0 round trip transparent at unchanged F0
+    # (BASELINE config 2 "SNR parity") despite the finite nspec grid.
+    for _ in range(3):
+        vt_at_k = jax.vmap(interp.interp1_uniform)(vtmagn, pos_k)
+        err_k = jnp.where(chunk.hm_mask > 0, vt_k - vt_at_k, 0.0)
+        vtmagn = vtmagn + jax.vmap(
+            lambda xp, fp: jnp.interp(fbins, xp, fp))(fk, err_k)
     vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
 
     # voice-source phase: measured - VT minimum phase - LF phase - radiation

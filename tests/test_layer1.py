@@ -1,0 +1,117 @@
+"""Layer-1 round-trip tests (reference analog: test-layer1-anasynth.c;
+BASELINE config 2) and parameter-domain edits (config 4)."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import edits, layer0, layer1
+from libllsm2_tpu.utils import testsig
+
+from test_layer0 import snr_db
+
+
+@pytest.fixture(scope="module")
+def analyzed():
+    x, f0 = testsig.make_test_utterance(duration=1.0)
+    opt = create_aoptions()
+    chunk = layer0.analyze(opt, x, f0)
+    return x, f0, chunk
+
+
+class TestLayer1RoundTrip:
+    def test_tolayer1_attaches_fields(self, analyzed):
+        x, f0, chunk = analyzed
+        l1 = layer1.chunk_to_layer1(chunk)
+        assert l1.has_layer1
+        assert l1.vtmagn.shape == (chunk.nfrm, chunk.conf.nspec)
+        rd = np.asarray(l1.rd)
+        assert np.all((rd > 0.05) & (rd < 4.0))
+        assert np.all(np.isfinite(np.asarray(l1.vtmagn)))
+
+    def test_layer0_layer1_layer0_identity(self, analyzed):
+        """tolayer0(tolayer1(chunk)) must reproduce the harmonics nearly
+        exactly: vtmagn/vsphse absorb the source model by construction
+        (reference: layer1.c round trip; BASELINE config 2)."""
+        x, f0, chunk = analyzed
+        back = layer1.chunk_to_layer0(layer1.chunk_to_layer1(chunk))
+        m = np.asarray(chunk.hm_mask) > 0
+        a0 = np.asarray(chunk.ampl)[m]
+        a1 = np.asarray(back.ampl)[m]
+        rel = np.abs(a1 - a0) / (np.abs(a0) + 1e-5 * a0.max())
+        # amplitude: small interp error onto the nspec grid is allowed
+        assert np.median(rel) < 0.02, np.median(rel)
+        assert np.mean(rel < 0.2) > 0.95
+        dph = np.angle(np.exp(1j * (np.asarray(back.phse) - np.asarray(chunk.phse))))
+        # phase: weight by amplitude (quiet harmonics may wrap)
+        w = a0 / a0.sum()
+        assert np.sum(np.abs(dph[m]) * w) < 0.1
+
+    def test_resynthesis_snr_parity(self, analyzed):
+        """Config 2: analysis -> layer1 -> layer0 -> synthesis keeps SNR."""
+        x, f0, chunk = analyzed
+        back = layer1.chunk_to_layer0(layer1.chunk_to_layer1(chunk))
+        out = layer0.synthesize(create_soptions(), back)
+        s = snr_db(x, np.asarray(out.y_sin))
+        assert s >= 40.0, f"layer-1 round-trip SNR {s:.1f} dB"
+
+
+class TestEdits:
+    def test_pitch_shift_moves_f0_keeps_formants(self, analyzed):
+        x, f0, chunk = analyzed
+        l1 = layer1.chunk_to_layer1(chunk)
+        up = edits.pitch_shift(l1, 2.0)
+        np.testing.assert_allclose(np.asarray(up.f0), 2 * np.asarray(chunk.f0),
+                                   rtol=1e-6)
+        out = layer0.synthesize(create_soptions(), up)
+        y = np.asarray(out.y)
+        assert np.all(np.isfinite(y))
+        # spectral peak (formant) region should stay put: compare average
+        # spectra of original vs shifted in the F1 region
+        spec_ref = np.abs(np.fft.rfft(x))
+        spec_up = np.abs(np.fft.rfft(y, len(x)))
+        f = np.fft.rfftfreq(len(x), 1 / 16000.0)
+        band = (f > 500) & (f < 900)   # F1 at 700 Hz in the fixture
+        e_ref = spec_ref[band].sum() / spec_ref.sum()
+        e_up = spec_up[band].sum() / spec_up.sum()
+        assert e_up > 0.3 * e_ref, (e_ref, e_up)
+
+    def test_pitch_shift_harmonic_spacing(self, analyzed):
+        x, f0, chunk = analyzed
+        l1 = layer1.chunk_to_layer1(chunk)
+        up = edits.pitch_shift(l1, 2.0)
+        out = layer0.synthesize(create_soptions(), up)
+        y = np.asarray(out.y_sin)
+        mid = len(y) // 2
+        seg = y[mid:mid + 2048] * np.hanning(2048)
+        spec = np.abs(np.fft.rfft(seg, 8192))
+        peak = spec[50:].argmax() + 50
+        fpeak = peak * 16000.0 / 8192
+        f0_mid = 2 * float(chunk.f0[chunk.nfrm // 2])
+        # strongest low peak must sit on a multiple of the NEW f0
+        ratio = fpeak / f0_mid
+        assert abs(ratio - round(ratio)) < 0.15, (fpeak, f0_mid)
+
+    def test_time_stretch_length_and_f0(self, analyzed):
+        x, f0, chunk = analyzed
+        st = edits.time_stretch(chunk, 1.5)
+        assert st.nfrm == int(round(chunk.nfrm * 1.5))
+        # voiced F0 preserved (same values, stretched in time)
+        mid_src = chunk.nfrm // 2
+        mid_dst = int(mid_src * 1.5)
+        assert abs(float(st.f0[mid_dst]) - float(chunk.f0[mid_src])) < 2.0
+        out = layer0.synthesize(create_soptions(), st)
+        assert np.all(np.isfinite(np.asarray(out.y)))
+
+    def test_combined_edit_config4(self, analyzed):
+        """BASELINE config 4: F0 x2 + time-stretch x1.5, then resynthesize."""
+        x, f0, chunk = analyzed
+        l1 = layer1.chunk_to_layer1(chunk)
+        edited = edits.time_stretch(edits.pitch_shift(l1, 2.0), 1.5)
+        out = layer0.synthesize(create_soptions(), edited)
+        y = np.asarray(out.y)
+        assert np.all(np.isfinite(y))
+        assert len(y) == edited.nfrm * chunk.conf.nhop
+        assert np.std(y) > 0.01
