@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import SynthesisOptions
 from ..container import Chunk
-from ..ops import interp, lf, spectral
+from ..ops import harmonics, interp, lf, spectral
 from . import layer1
 from .layer0 import SynthResult, _synth_noise
 
@@ -102,7 +102,8 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
         pulses.reshape(-1))[:nx]
 
     key = jax.random.PRNGKey(opt.noise_seed)
-    y_nos = _synth_noise(chunk, nx, key)
+    cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)
+    y_nos = _synth_noise(chunk, cyc, nx, key)
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)
 
 

@@ -1,0 +1,95 @@
+"""Pulse-by-pulse synthesis tests (reference analog: test-pbpeffects.c;
+BASELINE config 3)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import edits, layer0, layer1, pbp
+from libllsm2_tpu.utils import testsig
+
+
+@pytest.fixture(scope="module")
+def l1chunk():
+    x, f0 = testsig.make_test_utterance(duration=0.8)
+    opt = create_aoptions()
+    chunk = layer0.analyze(opt, x, f0)
+    return x, f0, layer1.chunk_to_layer1(chunk)
+
+
+class TestPbP:
+    def test_output_finite_and_energetic(self, l1chunk):
+        x, f0, l1 = l1chunk
+        out = pbp.pbp_synthesize(create_soptions(), l1)
+        y = np.asarray(out.y_sin)
+        assert np.all(np.isfinite(y))
+        assert np.std(y) > 0.05 * np.std(x)
+
+    def test_pulse_rate_matches_f0(self, l1chunk):
+        """The rendered pulse train must be periodic at F0: check the
+        autocorrelation peak of the voiced middle section."""
+        x, f0, l1 = l1chunk
+        out = pbp.pbp_synthesize(create_soptions(), l1)
+        y = np.asarray(out.y_sin)
+        mid = len(y) // 2
+        seg = y[mid:mid + 2048]
+        f0_mid = float(l1.f0[l1.nfrm // 2])
+        lag = int(round(16000.0 / f0_mid))
+
+        def periodicity(s):
+            ac = np.correlate(s, s, "full")[len(s) - 1:]
+            # vibrato detunes the exact lag; take the best near-lag peak
+            return ac[lag - 3:lag + 4].max() / ac[0]
+
+        # as periodic as the original signal is at the same lag
+        ref = periodicity(np.asarray(x[mid:mid + 2048]))
+        got = periodicity(seg)
+        assert got > 0.6 * ref, (got, ref, f0_mid)
+
+    def test_spectral_envelope_preserved(self, l1chunk):
+        """PbP output spectrum must track the original's envelope
+        (coarse band energies within a few dB)."""
+        x, f0, l1 = l1chunk
+        out = pbp.pbp_synthesize(create_soptions(), l1)
+        y = np.asarray(out.y_sin)
+        n = min(len(x), len(y))
+        sx = np.abs(np.fft.rfft(np.asarray(x[:n]) * np.hanning(n))) ** 2
+        sy = np.abs(np.fft.rfft(y[:n] * np.hanning(n))) ** 2
+        f = np.fft.rfftfreq(n, 1 / 16000.0)
+        for lo, hi in [(200, 1000), (1000, 2000), (2000, 4000)]:
+            b = (f >= lo) & (f < hi)
+            r = 10 * np.log10(sy[b].sum() / sx[b].sum())
+            assert abs(r) < 6.0, (lo, hi, r)
+
+    def test_rd_edit_changes_spectrum(self, l1chunk):
+        """PbP with a breathier Rd must tilt energy away from highs
+        (the PbP parameter-edit effect the reference tests)."""
+        x, f0, l1 = l1chunk
+        sopt = create_soptions()
+        tense = l1.replace(rd=np.full(l1.nfrm, 0.3, np.float32))
+        breathy = l1.replace(rd=np.full(l1.nfrm, 2.7, np.float32))
+        yt = np.asarray(pbp.pbp_synthesize(sopt, tense).y_sin)
+        yb = np.asarray(pbp.pbp_synthesize(sopt, breathy).y_sin)
+
+        def hf_ratio(y):
+            s = np.abs(np.fft.rfft(y)) ** 2
+            f = np.fft.rfftfreq(len(y), 1 / 16000.0)
+            return s[(f > 2000)].sum() / s[(f > 100) & (f < 1000)].sum()
+
+        assert hf_ratio(yt) > 2.0 * hf_ratio(yb), (hf_ratio(yt), hf_ratio(yb))
+
+    def test_pbp_after_pitch_shift(self, l1chunk):
+        """Config 3+4 combination: PbP renders edited chunks without NaNs
+        and with pulses at the new rate."""
+        x, f0, l1 = l1chunk
+        up = edits.pitch_shift(l1, 1.5)
+        out = pbp.pbp_synthesize(create_soptions(), up)
+        y = np.asarray(out.y_sin)
+        assert np.all(np.isfinite(y))
+        mid = len(y) // 2
+        seg = y[mid:mid + 2048]
+        f0_mid = 1.5 * float(l1.f0[l1.nfrm // 2])
+        lag = int(round(16000.0 / f0_mid))
+        ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+        assert ac[lag] > 0.4 * ac[0]
