@@ -22,6 +22,15 @@ def main(batch=16, duration=2.0, iters=3):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs (and the driver's
+    # end-of-round run) skip the slow first compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
     from libllsm2_tpu.parallel import corpus
     from libllsm2_tpu.utils import testsig
@@ -42,13 +51,15 @@ def main(batch=16, duration=2.0, iters=3):
 
     # compile + warm up
     y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv)
-    y.block_until_ready()
+    _ = np.asarray(mean_snr)   # full sync via host transfer
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        # vary an input so no caching layer can elide the step
+        x_i = x + jnp.float32(1e-7 * (i + 1))
         t0 = time.perf_counter()
-        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv)
-        y.block_until_ready()
+        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x_i, f0, nxv)
+        _ = np.asarray(y[0, :4])   # device->host transfer forces completion
         times.append(time.perf_counter() - t0)
     dt = min(times)
     audio_sec = batch * duration

@@ -1,0 +1,202 @@
+"""Streaming (real-time) synthesizer: the llsmrt analog.
+
+Reference: llsmrt.c -> llsm_create_rtsynth_buffer / _feed / _fetch /
+_delete (SURVEY.md 3.4).  Architecture here: a jitted per-frame render
+step (oscillator bank + WOLA noise shaper on the device) driven by a host
+loop, overlap-adding into the native C++ ring buffer
+(native/llsm_ring.cpp via runtime/native.py).  One frame of lookahead
+reproduces the offline pipeline's linear F0 interpolation between frame
+centers, so streaming output converges to the offline render.
+
+Feed accepts one frame of chunk data at a time (dicts or a 1-frame
+Chunk); fetch pops finalized samples.  Latency: 2 hops (one lookahead
+frame + one OLA half-window).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChunkConf, SynthesisOptions
+from ..container import Chunk
+from ..ops import interp, warp
+from .native import OLARing
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_frame(conf: ChunkConf, ampl, phse, mask, dc_seg, psd, edc,
+                  eenv_a, eenv_p, noise_seg, voiced):
+    """Render one frame's [2*nhop] OLA segment (harmonic + noise)."""
+    nhop = conf.nhop
+    T = 2 * nhop
+    K = conf.maxnhar
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    w_ola = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
+    w_ola = w_ola.astype(jnp.float32)
+
+    ph = kharm[:, None] * dc_seg[None, :]
+    ph = ph - jnp.round(ph)
+    osc = jnp.cos(2.0 * jnp.pi * ph + phse[:, None])        # [K, T]
+    seg_h = jnp.einsum("kt,k->t", osc, ampl * mask) * w_ola * voiced
+
+    # noise: sqrt-Hann WOLA of the supplied white-noise segment
+    w = jnp.sqrt(w_ola)
+    spec = jnp.fft.rfft(noise_seg * w, n=T)
+    nbin = T // 2 + 1
+    pos = warp.unwarp_interp_positions(nbin, conf.npsd, conf.fs,
+                                       conf.noswarp)
+    gain = jnp.sqrt(jnp.maximum(interp.interp1_uniform(psd, pos), 0.0))
+    f = jnp.arange(nbin) * conf.fs / T
+    edges = conf.chan_edges
+    ke = jnp.arange(1, conf.maxnhar_e + 1, dtype=jnp.float32)
+    seg_n = jnp.zeros(T, jnp.float32)
+    for c in range(conf.nchannel):
+        m = ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
+        band = jnp.fft.irfft(spec * gain * m, n=T) * w
+        phc = ke[:, None] * dc_seg[None, :]
+        phc = phc - jnp.round(phc)
+        env = edc[c] + jnp.einsum(
+            "kt,k->t", jnp.cos(2.0 * jnp.pi * phc + eenv_p[c][:, None]),
+            eenv_a[c]) * voiced
+        mod = jnp.maximum(env, 0.0) / jnp.maximum(edc[c], 1e-8)
+        seg_n = seg_n + band * mod
+    return seg_h + seg_n
+
+
+class RTSynthesizer:
+    """Streaming synthesizer (reference: llsm_rtsynth_buffer).
+
+    Args:
+      sopt: synthesis options (noise seed).
+      conf: chunk conf (static; compiled into the render step).
+      capacity_frames: ring capacity in frames.
+      phase_mode: "absolute" (frames carry coherent phases, e.g. straight
+        from analysis) or "propagate" (frames carry relative phases, e.g.
+        from coder decode per-frame; the synthesizer accumulates the
+        fundamental cycle count and re-propagates, reference:
+        llsm_chunk_phasepropagate applied online).
+    """
+
+    def __init__(self, sopt: SynthesisOptions, conf: ChunkConf,
+                 capacity_frames: int = 64, phase_mode: str = "absolute"):
+        assert phase_mode in ("absolute", "propagate")
+        self.sopt = sopt
+        self.conf = conf
+        self.phase_mode = phase_mode
+        self.nhop = conf.nhop
+        self.ring = OLARing(capacity_frames * self.nhop)
+        self._pending = None      # one-frame lookahead
+        self._prev_f0 = 0.0
+        self._i = 0               # index of the next frame to render
+        self._cycles = 0.0        # fundamental cycles at current center (f64)
+        self._fed = 0
+
+    # -- helpers ---------------------------------------------------------
+    def _noise_block(self, j: int) -> np.ndarray:
+        rng = np.random.default_rng([int(self.sopt.noise_seed), max(j, 0)])
+        b = rng.standard_normal(self.nhop).astype(np.float32)
+        return b if j >= 0 else np.zeros_like(b)
+
+    def _dc_segment(self, f0_prev, f0_cur, f0_next):
+        """Cycle offsets over [-nhop, nhop) with the offline pipeline's
+        piecewise-linear F0; float64 on host, mod-1 on device."""
+        nhop = self.nhop
+        fs = self.conf.fs
+        t = np.arange(-nhop, nhop, dtype=np.float64)
+        a = (t + nhop) / nhop
+        f_back = f0_prev + (f0_cur - f0_prev) * a          # t in [-nhop, 0)
+        f_fwd = f0_cur + (f0_next - f0_cur) * (t / nhop)   # t in [0, nhop)
+        f_t = np.where(t < 0, f_back, f_fwd)
+        dc = np.zeros(2 * nhop)
+        dc[nhop:] = (np.cumsum(f_t[nhop:]) - f_t[nhop:]) / fs  # exclusive
+        back = -np.cumsum(f_t[nhop - 1::-1]) / fs
+        dc[:nhop] = back[::-1]
+        return (dc % 1.0).astype(np.float32)
+
+    def _frame_fields(self, frame):
+        if isinstance(frame, Chunk):
+            g = lambda a: np.asarray(a)[0]
+            return dict(f0=float(np.asarray(frame.f0)[0]), ampl=g(frame.ampl),
+                        phse=g(frame.phse), mask=g(frame.hm_mask),
+                        psd=g(frame.psd), edc=g(frame.edc),
+                        eenv_a=g(frame.eenv_a), eenv_p=g(frame.eenv_p))
+        return dict(frame)
+
+    def _render(self, cur, f0_prev, f0_next):
+        f0c = cur["f0"] if cur["f0"] > 0 else 0.0
+        dc = self._dc_segment(f0_prev if f0_prev > 0 else f0c,
+                              f0c, f0_next if f0_next > 0 else f0c)
+        i = self._i
+        noise = np.concatenate([self._noise_block(i - 1),
+                                self._noise_block(i)])
+        phse = np.asarray(cur["phse"], np.float32)
+        if self.phase_mode == "propagate" and f0c > 0:
+            k = np.arange(1, self.conf.maxnhar + 1)
+            phse = phse + (2.0 * np.pi) * ((k * self._cycles) % 1.0)
+        seg = _render_frame(
+            self.conf, jnp.asarray(cur["ampl"], jnp.float32),
+            jnp.asarray(phse, jnp.float32),
+            jnp.asarray(cur["mask"], jnp.float32), jnp.asarray(dc),
+            jnp.asarray(cur["psd"], jnp.float32),
+            jnp.asarray(cur["edc"], jnp.float32),
+            jnp.asarray(cur["eenv_a"], jnp.float32),
+            jnp.asarray(cur["eenv_p"], jnp.float32),
+            jnp.asarray(noise), jnp.float32(1.0 if f0c > 0 else 0.0))
+        seg = np.asarray(seg)
+        pos = i * self.nhop - self.nhop
+        if pos < 0:
+            seg = seg[-pos:]
+            pos = 0
+        self.ring.add(seg, pos)
+        self.ring.advance(i * self.nhop)
+        # advance the cycle accumulator to the next frame center
+        self._cycles = (self._cycles
+                        + 0.5 * (f0c + (f0_next if f0_next > 0 else f0c))
+                        * self.conf.thop) % 1.0
+        self._i += 1
+
+    # -- public API (reference: llsm_rtsynth_buffer_feed/_fetch) ---------
+    def feed(self, frame) -> None:
+        cur = self._frame_fields(frame)
+        if self._pending is not None:
+            self._render(self._pending, self._prev_f0, cur["f0"])
+            self._prev_f0 = self._pending["f0"]
+        self._pending = cur
+        self._fed += 1
+
+    def flush(self) -> None:
+        """Render the last pending frame (constant-F0 extrapolation)."""
+        if self._pending is not None:
+            self._render(self._pending, self._prev_f0, self._pending["f0"])
+            self.ring.advance(self._i * self.nhop)
+            self._prev_f0 = self._pending["f0"]
+            self._pending = None
+
+    def readable(self) -> int:
+        return self.ring.readable()
+
+    def fetch(self, n: int) -> np.ndarray:
+        return self.ring.read(n)
+
+
+def stream_chunk(sopt: SynthesisOptions, chunk: Chunk,
+                 **kw) -> np.ndarray:
+    """Convenience: push a whole chunk through the streaming path frame by
+    frame and collect the output (used by tests to compare against the
+    offline renderer)."""
+    rt = RTSynthesizer(sopt, chunk.conf, capacity_frames=chunk.nfrm + 8, **kw)
+    out = []
+    for i in range(chunk.nfrm):
+        rt.feed(chunk.frame(i))
+        got = rt.fetch(rt.readable())
+        if len(got):
+            out.append(got)
+    rt.flush()
+    got = rt.fetch(rt.readable())
+    if len(got):
+        out.append(got)
+    return np.concatenate(out) if out else np.zeros(0, np.float32)

@@ -1,0 +1,67 @@
+"""Coder round-trip tests (reference analog: test-coder.c; SURVEY.md 3.5)."""
+import numpy as np
+import pytest
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import coder, layer0, layer1
+from libllsm2_tpu.utils import testsig
+
+
+@pytest.fixture(scope="module")
+def l1chunk():
+    x, f0 = testsig.make_test_utterance(duration=0.6, noise_level=0.05)
+    opt = create_aoptions()
+    chunk = layer0.analyze(opt, x, f0)
+    return x, layer1.chunk_to_layer1(chunk)
+
+
+def test_encode_shape(l1chunk):
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = coder.encode(cc, l1)
+    assert v.shape == (l1.nfrm, cc.dims)
+    assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_layout_covers_dims(l1chunk):
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    name, off, size = cc.layout()[-1]
+    assert off + size == cc.dims
+
+
+def test_roundtrip_preserves_parameters(l1chunk):
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = coder.encode(cc, l1)
+    back = coder.decode(cc, v)
+    np.testing.assert_allclose(np.asarray(back.f0), np.asarray(l1.f0),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(back.rd), np.asarray(l1.rd),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(back.edc), np.asarray(l1.edc),
+                               atol=1e-5)
+    # vtmagn survives the nvt-dim bottleneck approximately (voiced frames,
+    # interior spectrum)
+    voiced = np.asarray(l1.f0) > 0
+    a = np.asarray(l1.vtmagn)[voiced][:, 8:-8]
+    b = np.asarray(back.vtmagn)[voiced][:, 8:-8]
+    assert np.median(np.abs(a - b)) < 0.5  # log units
+
+
+def test_decoded_chunk_synthesizes(l1chunk):
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    back = coder.decode(cc, coder.encode(cc, l1))
+    out = layer0.synthesize(create_soptions(), back)
+    y = np.asarray(out.y)
+    assert np.all(np.isfinite(y))
+    # band energies of the decoded resynthesis track the original coarsely
+    n = min(len(x), len(y))
+    sx = np.abs(np.fft.rfft(np.asarray(x[:n]))) ** 2
+    sy = np.abs(np.fft.rfft(y[:n])) ** 2
+    f = np.fft.rfftfreq(n, 1 / 16000.0)
+    for lo, hi in [(200, 1000), (1000, 3000)]:
+        b = (f >= lo) & (f < hi)
+        r = 10 * np.log10(sy[b].sum() / sx[b].sum())
+        assert abs(r) < 8.0, (lo, hi, r)

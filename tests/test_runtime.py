@@ -1,0 +1,87 @@
+"""Streaming runtime tests (reference analog: test-llsmrt.c: streaming
+feed/fetch approximately equals offline synthesis; SURVEY.md section 4)."""
+import numpy as np
+import pytest
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0
+from libllsm2_tpu.runtime import native, rtsynth
+from libllsm2_tpu.utils import testsig
+
+from test_layer0 import snr_db
+
+
+class TestNativeRing:
+    def test_native_lib_builds(self):
+        ring = native.OLARing(1024)
+        assert ring.native, "native ring did not build; check native/Makefile"
+
+    def test_ola_and_read(self):
+        ring = native.OLARing(64)
+        ring.add(np.ones(16, np.float32), 0)
+        ring.add(np.ones(16, np.float32), 8)   # overlaps samples 8..16
+        ring.advance(8)
+        out = ring.read(8)
+        np.testing.assert_array_equal(out, np.ones(8))
+        ring.advance(16)
+        out = ring.read(8)
+        np.testing.assert_array_equal(out, 2 * np.ones(8))
+
+    def test_wraparound(self):
+        ring = native.OLARing(32)
+        for blk in range(8):
+            ring.add(np.full(8, blk, np.float32), blk * 8)
+            ring.advance(blk * 8)
+            if blk:
+                got = ring.read(8)
+                np.testing.assert_array_equal(got, np.full(8, blk - 1))
+
+    def test_overrun_raises(self):
+        ring = native.OLARing(16)
+        with pytest.raises(BufferError):
+            ring.add(np.zeros(32, np.float32), 0)
+
+
+class TestStreaming:
+    @pytest.fixture(scope="class")
+    def analyzed(self):
+        x, f0 = testsig.make_test_utterance(duration=0.6, noise_level=0.05)
+        chunk = layer0.analyze(create_aoptions(), x, f0)
+        return x, chunk
+
+    def test_stream_matches_offline_harmonic(self, analyzed):
+        """Streaming output must converge to the offline render: compare
+        against the offline harmonic component (deterministic part)."""
+        x, chunk = analyzed
+        sopt = create_soptions()
+        off = layer0.synthesize(sopt, chunk)
+        y_stream = rtsynth.stream_chunk(sopt, chunk)
+        n = min(len(y_stream), len(np.asarray(off.y)))
+        # compare streaming total against offline harmonic+noise energy:
+        # noise realizations differ (different streams) so check the
+        # deterministic part dominates agreement
+        s = snr_db(np.asarray(off.y_sin)[:n], y_stream[:n])
+        assert s > 15.0, s
+
+    def test_latency_is_two_hops(self, analyzed):
+        x, chunk = analyzed
+        sopt = create_soptions()
+        rt = rtsynth.RTSynthesizer(sopt, chunk.conf, capacity_frames=16)
+        rt.feed(chunk.frame(0))
+        assert rt.readable() == 0          # lookahead frame buffered
+        rt.feed(chunk.frame(1))
+        assert rt.readable() == 0          # frame 0 rendered, not final
+        rt.feed(chunk.frame(2))
+        assert rt.readable() == chunk.conf.nhop
+
+    def test_propagate_mode_runs(self, analyzed):
+        x, chunk = analyzed
+        sopt = create_soptions()
+        rt = rtsynth.RTSynthesizer(sopt, chunk.conf, capacity_frames=64,
+                                   phase_mode="propagate")
+        for i in range(20):
+            rt.feed(chunk.frame(i))
+        rt.flush()
+        y = rt.fetch(rt.readable())
+        assert np.all(np.isfinite(y))
+        assert np.std(y) > 0.0
