@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=16, duration=2.0, iters=3):
+def main(batch=16, duration=2.0, iters=3, pallas=0):
     import jax
     import jax.numpy as jnp
 
@@ -36,8 +36,9 @@ def main(batch=16, duration=2.0, iters=3):
     from libllsm2_tpu.utils import testsig
 
     conf = ChunkConf(f0_floor=70.0)   # window budget sized for speech F0s
-    opt = dataclasses.replace(create_aoptions(), conf=conf)
-    sopt = create_soptions()
+    opt = dataclasses.replace(create_aoptions(), conf=conf,
+                              use_pallas=bool(pallas))
+    sopt = dataclasses.replace(create_soptions(), use_pallas=bool(pallas))
 
     xs, f0s = [], []
     for i in range(batch):
@@ -71,7 +72,7 @@ def main(batch=16, duration=2.0, iters=3):
         "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
         "detail": {
             "batch": batch, "duration_s": duration,
-            "best_step_s": round(dt, 4),
+            "best_step_s": round(dt, 4), "pallas": bool(pallas),
             "mean_harmonic_snr_db": round(float(mean_snr), 2),
             "device": str(jax.devices()[0]),
         },

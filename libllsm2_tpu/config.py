@@ -91,6 +91,7 @@ class AnalysisOptions:
     conf: ChunkConf = ChunkConf()
     hm_method: str = "czt"       # "czt" | "dft"  (reference: LLSM_AOPTION_HMCZT/HMPP)
     f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
+    use_pallas: bool = False     # lower the harmonic projection to Pallas
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
 

@@ -125,11 +125,11 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     ampl, phse, mask = harmonics.harmonic_analysis(
         x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
         halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-        fnyq=conf.fnyq)
+        fnyq=conf.fnyq, use_pallas=opt.use_pallas)
 
     # --- residual: subtract the resynthesized harmonic part ---
     segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
-                                     nhop=nhop)
+                                     nhop=nhop, use_pallas=opt.use_pallas)
     y_sin = harmonics.overlap_add_half(segs, nhop, nx)
     residual = x - y_sin
 
@@ -242,7 +242,8 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     cyc = harmonics.sample_cycles(chunk.f0, nhop, conf.fs, nx)
 
     segs = harmonics.oscillator_bank(cyc, centers, chunk.ampl, chunk.phse,
-                                     chunk.hm_mask, nhop=nhop)
+                                     chunk.hm_mask, nhop=nhop,
+                                     use_pallas=opt.use_pallas)
     y_sin = harmonics.overlap_add_half(segs, nhop, nx)
 
     key = jax.random.PRNGKey(opt.noise_seed)

@@ -81,6 +81,7 @@ def harmonic_analysis(
     fnyq: float,
     window: str = "hanning",
     chunk: int = 32,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Estimate harmonic amplitudes/phases for every frame.
 
@@ -129,14 +130,25 @@ def harmonic_analysis(
         return ampl, phse
 
     N = centers.shape[0]
-    pad = (-N) % chunk
-    cs = jnp.pad(centers, (0, pad)).reshape(-1, chunk)
-    hw = jnp.pad(halfwidth, (0, pad),
-                 constant_values=2.0).reshape(-1, chunk)
-    dc = jnp.pad(dc_all, ((0, pad), (0, 0))).reshape(-1, chunk, W)
-    ampl, phse = jax.lax.map(per_chunk, (cs, hw, dc))
-    ampl = ampl.reshape(-1, max_k)[:N]
-    phse = phse.reshape(-1, max_k)[:N]
+    if use_pallas:
+        from .pallas_osc import harmonic_project_pallas
+        idx = centers[:, None] + jnp.arange(W)[None, :]
+        frames = xp[idx]
+        w = window_centered(window, n_off[None, :], halfwidth[:, None])
+        xw = frames * w
+        re, im = harmonic_project_pallas(dc_all, xw, max_k)
+        wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+        ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+        phse = jnp.arctan2(im, re)
+    else:
+        pad = (-N) % chunk
+        cs = jnp.pad(centers, (0, pad)).reshape(-1, chunk)
+        hw = jnp.pad(halfwidth, (0, pad),
+                     constant_values=2.0).reshape(-1, chunk)
+        dc = jnp.pad(dc_all, ((0, pad), (0, 0))).reshape(-1, chunk, W)
+        ampl, phse = jax.lax.map(per_chunk, (cs, hw, dc))
+        ampl = ampl.reshape(-1, max_k)[:N]
+        phse = phse.reshape(-1, max_k)[:N]
     m = mask.astype(jnp.float32)
     return ampl * m, phse * m, m
 
@@ -205,6 +217,7 @@ def oscillator_bank(
     *,
     nhop: int,
     chunk: int = 64,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Render per-frame harmonic segments for 50%-overlap Hann OLA.
 
@@ -226,6 +239,11 @@ def oscillator_bank(
     w_ola = w_ola.astype(jnp.float32)
 
     dc_all = cycle_segments(cyc, centers, nhop)[:, :T]        # [N, T]
+
+    if use_pallas:
+        from .pallas_osc import osc_bank_pallas
+        segs = osc_bank_pallas(dc_all, ampl, phse, mask)
+        return segs * w_ola[None, :]
 
     def per_chunk(args):
         c_dc, c_a, c_p, c_m = args

@@ -1,0 +1,182 @@
+"""Pallas TPU kernels for the additive-synthesis hot paths.
+
+The oscillator bank is the synthesis hot loop (reference: layer0.c
+sinusoidal synthesis; SURVEY.md 3.2 "fused oscillator-bank Pallas
+kernel").  The jnp formulation materializes a [frames, harmonics, samples]
+cosine tensor in HBM between the transcendental and the contraction; these
+kernels keep the whole harmonic accumulation in VMEM: each grid step loads
+one block of frames' cycle offsets and harmonic coefficients and writes
+only the finished block -- HBM traffic drops from O(N*K*T) to O(N*(K+T)).
+
+Mosaic-specific design points:
+  - no per-harmonic transcendentals: e^{2j pi k dc} is built by a complex
+    rotation recurrence z^{k+1} = z^k * z from one cos/sin of the base
+    angle, so the inner loop is pure VPU mul/adds.  cos(2 pi k dc + phi)
+    = cos(phi) Re z^k - sin(phi) Im z^k, with a*cos(phi), a*sin(phi)
+    folded into [K, N]-layout coefficients on the host side;
+  - the harmonic loop is a fori_loop over sublane-aligned chunks of 8
+    rows (pl.ds with a provable multiple-of-8 start) with a static
+    8-step unroll inside -- no dynamic lane indexing, bounded VMEM;
+  - blocks keep the lane dimension either 128-aligned or equal to the
+    full array dimension, per the TPU lowering rules.
+
+Both kernels fall back to interpreter mode off-TPU so CPU tests exercise
+identical code paths.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FRAME_BLOCK = 128   # frames per grid step; also the coefficient lane block
+KCHUNK = 8          # harmonic rows per fori_loop step (sublane tile)
+W_BLOCK = 512       # window-sample chunk for the projection kernel
+TWO_PI = 6.283185307179586
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _osc_kernel(dc_ref, ar_ref, ai_ref, out_ref):
+    """One grid step: [F, T] segments from [K, F] rotated coefficients."""
+    ang = TWO_PI * dc_ref[:]           # [F, T]
+    zr = jnp.cos(ang)
+    zi = jnp.sin(ang)
+    K = ar_ref.shape[0]
+
+    def chunk(j, carry):
+        wr, wi, acc = carry
+        base = pl.multiple_of(j * KCHUNK, KCHUNK)
+        arc = ar_ref[pl.ds(base, KCHUNK), :]    # [8, F]
+        aic = ai_ref[pl.ds(base, KCHUNK), :]
+        for i in range(KCHUNK):                 # static unroll
+            acc = acc + arc[i, :][:, None] * wr - aic[i, :][:, None] * wi
+            nwr = wr * zr - wi * zi
+            wi = wr * zi + wi * zr
+            wr = nwr
+        return wr, wi, acc
+
+    # z^1 enters the loop: slot k holds harmonic (k+1)
+    init = (zr, zi, jnp.zeros_like(zr))
+    _, _, acc = jax.lax.fori_loop(0, K // KCHUNK, chunk, init)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def osc_bank_pallas(dc: jnp.ndarray, ampl: jnp.ndarray, phse: jnp.ndarray,
+                    mask: jnp.ndarray, block: int = FRAME_BLOCK) -> jnp.ndarray:
+    """Fused oscillator bank: sum_k a_k cos(2 pi (k+1) dc + phi_k).
+
+    dc [N, T] (cycle offsets, any mod-1 representative), ampl/phse/mask
+    [N, K] -> segments [N, T] (no OLA window applied).
+    """
+    N, T = dc.shape
+    K = ampl.shape[1]
+    Kp = _round_up(K, KCHUNK)
+    a = (ampl * mask).astype(jnp.float32)
+    ar = (a * jnp.cos(phse)).T.astype(jnp.float32)   # [K, N]
+    ai = (a * jnp.sin(phse)).T.astype(jnp.float32)
+    pad = (-N) % block
+    dc = jnp.pad(dc, ((0, pad), (0, 0)))
+    ar = jnp.pad(ar, ((0, Kp - K), (0, pad)))        # zero coef = no-op rows
+    ai = jnp.pad(ai, ((0, Kp - K), (0, pad)))
+    Np = N + pad
+    out = pl.pallas_call(
+        _osc_kernel,
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((block, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, T), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, T), jnp.float32),
+        interpret=_interpret(),
+    )(dc.astype(jnp.float32), ar, ai)
+    return out[:N]
+
+
+def _proj_kernel(dc_ref, xw_ref, re_ref, im_ref):
+    """Grid step (i, jw): accumulate the projection of window chunk jw of
+    frame block i onto all K harmonics; outputs are revisited over jw."""
+    jw = pl.program_id(1)
+    ang = TWO_PI * dc_ref[:]           # [F, Wb]
+    zr = jnp.cos(ang)
+    zi = jnp.sin(ang)
+    xw = xw_ref[:]
+    K = re_ref.shape[0]
+
+    @pl.when(jw == 0)
+    def _():
+        re_ref[:] = jnp.zeros_like(re_ref)
+        im_ref[:] = jnp.zeros_like(im_ref)
+
+    def chunk(j, carry):
+        wr, wi = carry
+        res, ims = [], []
+        for _ in range(KCHUNK):
+            res.append(jnp.sum(wr * xw, axis=-1))
+            ims.append(-jnp.sum(wi * xw, axis=-1))
+            nwr = wr * zr - wi * zi
+            wi = wr * zi + wi * zr
+            wr = nwr
+        base = pl.multiple_of(j * KCHUNK, KCHUNK)
+        re_ref[pl.ds(base, KCHUNK), :] += jnp.stack(res)
+        im_ref[pl.ds(base, KCHUNK), :] += jnp.stack(ims)
+        return wr, wi
+
+    jax.lax.fori_loop(0, K // KCHUNK, chunk, (zr, zi))
+
+
+@functools.partial(jax.jit, static_argnames=("max_k", "block", "wblock"))
+def harmonic_project_pallas(dc: jnp.ndarray, xw: jnp.ndarray, max_k: int,
+                            block: int = FRAME_BLOCK,
+                            wblock: int = W_BLOCK):
+    """Windowed projection onto the chirped harmonic basis.
+
+    dc, xw: [N, W] -> (re [N, K], im [N, K]) with
+    re+j*im = sum_w xw[w] * exp(-2j pi (k+1) dc[w]).
+    """
+    N, W = dc.shape
+    Kp = _round_up(max_k, KCHUNK)
+    npad = (-N) % block
+    wpad = (-W) % wblock
+    # zero-padded xw contributes nothing regardless of the dc padding
+    dc = jnp.pad(dc, ((0, npad), (0, wpad)))
+    xw = jnp.pad(xw, ((0, npad), (0, wpad)))
+    Np, Wp = N + npad, W + wpad
+    re, im = pl.pallas_call(
+        _proj_kernel,
+        grid=(Np // block, Wp // wblock),
+        in_specs=[
+            pl.BlockSpec((block, wblock), lambda i, jw: (i, jw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, wblock), lambda i, jw: (i, jw),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Kp, block), lambda i, jw: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, block), lambda i, jw: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(dc.astype(jnp.float32), xw.astype(jnp.float32))
+    return re[:max_k].T[:N], im[:max_k].T[:N]

@@ -1,0 +1,70 @@
+"""Chunk serialization: save/load the whole parameter set.
+
+The reference has no checkpoint subsystem; its nearest analog is the
+in-memory llsm_chunk that callers serialize themselves (SURVEY.md
+section 5 "Checkpoint / resume").  Here chunks are flat npz archives with
+the conf stored as JSON, so a corpus run can checkpoint per-bucket
+progress and an ML pipeline can stage parameters to disk.  An orbax-based
+variant is provided for sharded multi-host arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChunkConf
+from ..container import Chunk
+
+_ARRAY_FIELDS = ["f0", "ampl", "phse", "hm_mask", "psd", "edc",
+                 "eenv_a", "eenv_p", "rd", "vtmagn", "vsphse"]
+
+
+def chunk_save(path: str, chunk: Chunk) -> None:
+    """Save a chunk (and its self-describing conf) to an npz file."""
+    arrays = {}
+    for name in _ARRAY_FIELDS:
+        v = getattr(chunk, name)
+        if v is not None:
+            arrays[name] = np.asarray(v)
+    conf_json = json.dumps(dataclasses.asdict(chunk.conf))
+    np.savez(path, __conf__=np.frombuffer(conf_json.encode(), np.uint8),
+             **arrays)
+
+
+def chunk_load(path: str) -> Chunk:
+    """Load a chunk saved by chunk_save."""
+    z = np.load(path)
+    conf_dict = json.loads(bytes(z["__conf__"]).decode())
+    conf_dict["chanfreq"] = tuple(conf_dict["chanfreq"])
+    conf = ChunkConf(**conf_dict)
+    kw = {}
+    for name in _ARRAY_FIELDS:
+        kw[name] = jnp.asarray(z[name]) if name in z.files else None
+    return Chunk(conf=conf, **kw)
+
+
+def chunk_save_orbax(path: str, chunk: Chunk) -> None:
+    """Orbax checkpoint of a chunk (for sharded/multi-host arrays)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        arrays = {n: getattr(chunk, n) for n in _ARRAY_FIELDS
+                  if getattr(chunk, n) is not None}
+        arrays["__conf__"] = json.dumps(dataclasses.asdict(chunk.conf))
+        ckptr.save(path, arrays)
+
+
+def chunk_load_orbax(path: str) -> Chunk:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        data = ckptr.restore(path)
+    conf_dict = json.loads(data.pop("__conf__"))
+    conf_dict["chanfreq"] = tuple(conf_dict["chanfreq"])
+    conf = ChunkConf(**conf_dict)
+    kw = {n: (jnp.asarray(data[n]) if n in data else None)
+          for n in _ARRAY_FIELDS}
+    return Chunk(conf=conf, **kw)

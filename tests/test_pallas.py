@@ -1,0 +1,62 @@
+"""Pallas kernel equivalence tests: the fused kernels must match the jnp
+reference implementations bit-closely (SURVEY.md section 7 design rule 3:
+"Pallas behind a flag with equality tests").  On CPU the kernels run in
+interpreter mode, exercising the same code path the TPU compiles."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0
+from libllsm2_tpu.ops import harmonics, pallas_osc
+from libllsm2_tpu.utils import testsig
+
+
+def test_osc_bank_matches_jnp():
+    rng = np.random.default_rng(0)
+    N, K, T = 13, 24, 160
+    dc = jnp.asarray(rng.uniform(-0.5, 0.5, (N, T)), jnp.float32)
+    ampl = jnp.asarray(rng.uniform(0, 1, (N, K)), jnp.float32)
+    phse = jnp.asarray(rng.uniform(-3, 3, (N, K)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (N, K)), jnp.float32)
+
+    got = np.asarray(pallas_osc.osc_bank_pallas(dc, ampl, phse, mask))
+    kh = np.arange(1, K + 1, dtype=np.float32)
+    ph = kh[None, :, None] * np.asarray(dc)[:, None, :]
+    ph -= np.round(ph)
+    ref = np.einsum("nkt,nk->nt",
+                    np.cos(2 * np.pi * ph + np.asarray(phse)[:, :, None]),
+                    np.asarray(ampl * mask))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_harmonic_project_matches_jnp():
+    rng = np.random.default_rng(1)
+    N, W, K = 9, 321, 16
+    dc = jnp.asarray(rng.uniform(-2, 2, (N, W)), jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((N, W)), jnp.float32)
+    re, im = pallas_osc.harmonic_project_pallas(dc, xw, K)
+    kh = np.arange(1, K + 1, dtype=np.float32)
+    ph = kh[None, :, None] * np.asarray(dc)[:, None, :]
+    ph -= np.round(ph)
+    ref_re = np.einsum("nkw,nw->nk", np.cos(2 * np.pi * ph), np.asarray(xw))
+    ref_im = np.einsum("nkw,nw->nk", -np.sin(2 * np.pi * ph), np.asarray(xw))
+    np.testing.assert_allclose(np.asarray(re), ref_re, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), ref_im, atol=2e-3)
+
+
+def test_full_pipeline_pallas_flag():
+    """analyze+synthesize with use_pallas=True matches the jnp path."""
+    x, f0 = testsig.make_test_utterance(duration=0.4)
+    opt_ref = create_aoptions()
+    opt_pl = dataclasses.replace(opt_ref, use_pallas=True)
+    ch_ref = layer0.analyze(opt_ref, x, f0)
+    ch_pl = layer0.analyze(opt_pl, x, f0)
+    np.testing.assert_allclose(np.asarray(ch_pl.ampl),
+                               np.asarray(ch_ref.ampl), atol=1e-3)
+    sopt_ref = create_soptions()
+    sopt_pl = dataclasses.replace(sopt_ref, use_pallas=True)
+    y_ref = np.asarray(layer0.synthesize(sopt_ref, ch_ref).y_sin)
+    y_pl = np.asarray(layer0.synthesize(sopt_pl, ch_ref).y_sin)
+    np.testing.assert_allclose(y_pl, y_ref, atol=1e-3)
