@@ -122,37 +122,40 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     cyc = harmonics.sample_cycles(f0, nhop, conf.fs, nx)
 
     # --- harmonic pass (SURVEY.md 3.1: the hot frame loop, vmapped away) ---
-    ampl, phse, mask = harmonics.harmonic_analysis(
-        x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
-        halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-        fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+    with jax.named_scope("llsm.analyze.harmonic"):
+        ampl, phse, mask = harmonics.harmonic_analysis(
+            x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
+            halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+            fnyq=conf.fnyq, use_pallas=opt.use_pallas)
 
     # --- residual: subtract the resynthesized harmonic part ---
-    segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
-                                     nhop=nhop, use_pallas=opt.use_pallas)
-    y_sin = harmonics.overlap_add_half(segs, nhop, nx)
-    residual = x - y_sin
+    with jax.named_scope("llsm.analyze.residual"):
+        segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
+                                         nhop=nhop, use_pallas=opt.use_pallas)
+        y_sin = harmonics.overlap_add_half(segs, nhop, nx)
+        residual = x - y_sin
 
     # --- noise pass: band envelopes + warped PSD ---
-    envs = _band_envelopes(residual, conf)                  # [C, nx]
-    f0s = jnp.where(f0 > 0, f0, 100.0)
-    halfwidth = jnp.clip(conf.rel_winsize * conf.fs / (2.0 * f0s), 2.0,
-                         float(conf.halfwin_max))
+    with jax.named_scope("llsm.analyze.noise"):
+        envs = _band_envelopes(residual, conf)              # [C, nx]
+        f0s = jnp.where(f0 > 0, f0, 100.0)
+        halfwidth = jnp.clip(conf.rel_winsize * conf.fs / (2.0 * f0s), 2.0,
+                             float(conf.halfwin_max))
 
-    def env_chan(env_c):
-        edc = _windowed_dc(env_c, centers, halfwidth, conf.halfwin_max)
-        ea, ep, _ = harmonics.harmonic_analysis(
-            env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
-            halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-            fnyq=conf.fnyq)
-        return edc, ea, ep
+        def env_chan(env_c):
+            edc = _windowed_dc(env_c, centers, halfwidth, conf.halfwin_max)
+            ea, ep, _ = harmonics.harmonic_analysis(
+                env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
+                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+                fnyq=conf.fnyq)
+            return edc, ea, ep
 
-    edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)          # [C,N], [C,N,Ke]
-    edc = jnp.maximum(edc, 0.0).T                           # [N, C]
-    eenv_a = jnp.transpose(eenv_a, (1, 0, 2))               # [N, C, Ke]
-    eenv_p = jnp.transpose(eenv_p, (1, 0, 2))
+        edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)      # [C,N], [C,N,Ke]
+        edc = jnp.maximum(edc, 0.0).T                       # [N, C]
+        eenv_a = jnp.transpose(eenv_a, (1, 0, 2))           # [N, C, Ke]
+        eenv_p = jnp.transpose(eenv_p, (1, 0, 2))
 
-    psd = _warped_psd(residual, centers, conf)              # [N, npsd]
+        psd = _warped_psd(residual, centers, conf)          # [N, npsd]
 
     return Chunk(f0=f0, ampl=ampl, phse=phse, hm_mask=mask, psd=psd,
                  edc=edc, eenv_a=eenv_a, eenv_p=eenv_p, conf=conf)
@@ -241,12 +244,15 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     centers = jnp.arange(chunk.nfrm, dtype=jnp.int32) * nhop
     cyc = harmonics.sample_cycles(chunk.f0, nhop, conf.fs, nx)
 
-    segs = harmonics.oscillator_bank(cyc, centers, chunk.ampl, chunk.phse,
-                                     chunk.hm_mask, nhop=nhop,
-                                     use_pallas=opt.use_pallas)
-    y_sin = harmonics.overlap_add_half(segs, nhop, nx)
+    with jax.named_scope("llsm.synth.harmonic"):
+        segs = harmonics.oscillator_bank(cyc, centers, chunk.ampl,
+                                         chunk.phse, chunk.hm_mask,
+                                         nhop=nhop,
+                                         use_pallas=opt.use_pallas)
+        y_sin = harmonics.overlap_add_half(segs, nhop, nx)
 
-    key = jax.random.PRNGKey(opt.noise_seed)
-    y_nos = _synth_noise(chunk, cyc, nx, key)
+    with jax.named_scope("llsm.synth.noise"):
+        key = jax.random.PRNGKey(opt.noise_seed)
+        y_nos = _synth_noise(chunk, cyc, nx, key)
 
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=conf.fs)

@@ -1,1 +1,2 @@
-from . import harmonics, interp, lf, spectral, warp, windows  # noqa: F401
+from . import (f0, filters, harmonics, interp, lf, pallas_osc,  # noqa: F401
+               spectral, stft, warp, windows)
