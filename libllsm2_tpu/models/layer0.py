@@ -123,10 +123,18 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 
     # --- harmonic pass (SURVEY.md 3.1: the hot frame loop, vmapped away) ---
     with jax.named_scope("llsm.analyze.harmonic"):
-        ampl, phse, mask = harmonics.harmonic_analysis(
-            x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
-            halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-            fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+        if opt.hm_method == "pp":
+            # FFT peak-picking + qifft (reference: LLSM_AOPTION_HMPP)
+            ampl, phse, mask = harmonics.harmonic_peak_pick(
+                x, f0, centers, fs=conf.fs, max_k=conf.maxnhar,
+                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+                fnyq=conf.fnyq)
+        else:
+            # zoomed chirped projection (reference: LLSM_AOPTION_HMCZT)
+            ampl, phse, mask = harmonics.harmonic_analysis(
+                x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
+                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
 
     # --- residual: subtract the resynthesized harmonic part ---
     with jax.named_scope("llsm.analyze.residual"):

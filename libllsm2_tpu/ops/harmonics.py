@@ -275,3 +275,95 @@ def overlap_add_half(segments: jnp.ndarray, nhop: int, nx: int) -> jnp.ndarray:
     if nx <= N * nhop:
         return y[:nx]
     return jnp.pad(y, (0, nx - N * nhop))
+
+
+def harmonic_peak_pick(
+    x: jnp.ndarray,
+    f0: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    fs: float,
+    max_k: int,
+    halfwin_max: int,
+    rel_winsize: float,
+    fnyq: float,
+    window: str = "blackman_harris",
+    local_bins: int = 16,
+    chunk: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Peak-picking harmonic estimation (reference: dsputils.c HMPP path --
+    windowed FFT, nearest spectral peak to each k*f0, qifft refinement).
+
+    More robust than the zoomed projection when the supplied F0 is off by
+    a few percent: each harmonic's amplitude/phase is measured at the
+    *actual* local spectral peak.  The refined per-harmonic frequencies
+    are only used for measurement; the chunk still stores the harmonic-
+    grid model.  Static shapes: each harmonic searches a +/-local_bins
+    neighborhood masked to +/-0.4*f0.
+    """
+    from .spectral import next_pow2, qifft
+
+    H = halfwin_max
+    W = 2 * H + 1
+    nfft = next_pow2(W)
+    n_off = jnp.arange(W, dtype=jnp.float32) - H
+    kharm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+
+    voiced = f0 > 0.0
+    f0s = jnp.where(voiced, f0, 100.0)
+    halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
+    mask = voiced[:, None] & (kharm[None, :] * f0s[:, None] < fnyq)
+
+    xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+    idx = centers[:, None] + jnp.arange(W)[None, :]
+    frames = xp[idx]
+    w = window_centered(window, n_off[None, :], halfwidth[:, None])
+    xw = frames * w                                          # [N, W]
+
+    spec = jnp.fft.rfft(xw, n=nfft)                          # [N, nfft/2+1]
+    logmag = jnp.log(jnp.abs(spec) + 1e-12)
+    nbin = nfft // 2 + 1
+
+    # expected bin of harmonic (k+1)*f0 and its local search neighborhood
+    bin_exp = kharm[None, :] * f0s[:, None] / fs * nfft      # [N, K]
+    offs = jnp.arange(-local_bins, local_bins + 1)           # [L]
+    cand = jnp.clip(jnp.round(bin_exp).astype(jnp.int32)[:, :, None]
+                    + offs[None, None, :], 1, nbin - 2)      # [N, K, L]
+    lm_local = jnp.take_along_axis(
+        logmag[:, None, :], cand, axis=-1)                   # [N, K, L]
+    # restrict to +/- 0.4 f0 so neighbors' peaks are out of reach
+    lim = 0.4 * f0s[:, None, None] / fs * nfft
+    valid = jnp.abs(cand.astype(jnp.float32)
+                    - bin_exp[:, :, None]) <= lim
+    lm_masked = jnp.where(valid, lm_local, -1e9)
+    pk = jnp.argmax(lm_masked, axis=-1)                      # [N, K]
+    pk_bin = jnp.take_along_axis(cand, pk[:, :, None], axis=-1)[:, :, 0]
+    # qifft on the full log-magnitude rows
+    refined_bin, _ = qifft(logmag[:, None, :],
+                           pk_bin.reshape(-1, 1).reshape(pk_bin.shape))
+    f_ref = refined_bin / nfft * fs                          # [N, K] Hz
+    f_ref = jnp.where(mask, f_ref, kharm[None, :] * f0s[:, None])
+
+    # exact projection at the refined frequencies for amplitude/phase
+    def per_chunk(args):
+        c_xw, c_f = args                                     # [C,W], [C,K]
+        ph = _phase_cycles(n_off[None, None, :],
+                           (c_f / fs)[:, :, None])           # [C,K,W]
+        arg = (2.0 * jnp.pi) * ph
+        re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), c_xw)
+        im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), c_xw)
+        return re, im
+
+    N = centers.shape[0]
+    pad = (-N) % chunk
+    xwp = jnp.pad(xw, ((0, pad), (0, 0))).reshape(-1, chunk, W)
+    frp = jnp.pad(f_ref, ((0, pad), (0, 0)),
+                  constant_values=100.0).reshape(-1, chunk, max_k)
+    re, im = jax.lax.map(per_chunk, (xwp, frp))
+    re = re.reshape(-1, max_k)[:N]
+    im = im.reshape(-1, max_k)[:N]
+    wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+    ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+    phse = jnp.arctan2(im, re)
+    m = mask.astype(jnp.float32)
+    return ampl * m, phse * m, m

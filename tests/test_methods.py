@@ -1,0 +1,72 @@
+"""Harmonic-method parity (HMCZT vs HMPP analog) and numerical-hygiene
+jobs (debug-nans; jit/vmap consistency via chex variants -- SURVEY.md
+section 4 rebuild test strategy, section 5 sanitizers row)."""
+import dataclasses
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0
+from libllsm2_tpu.ops import harmonics
+from libllsm2_tpu.utils import testsig
+
+from test_layer0 import snr_db
+
+
+def test_peak_picking_method_roundtrip():
+    x, f0 = testsig.make_test_utterance(duration=0.6)
+    opt = dataclasses.replace(create_aoptions(), hm_method="pp")
+    chunk = layer0.analyze(opt, x, f0)
+    out = layer0.synthesize(create_soptions(), chunk)
+    s = snr_db(x, np.asarray(out.y_sin))
+    assert s >= 20.0, s
+
+
+def test_peak_picking_robust_to_f0_error():
+    """HMPP must degrade more gracefully than the zoom when the given F0
+    is 2% off and refinement is disabled (its reason to exist)."""
+    x, f0 = testsig.make_test_utterance(duration=0.6)
+    res = {}
+    for method in ("czt", "pp"):
+        opt = dataclasses.replace(create_aoptions(), hm_method=method,
+                                  f0_refine=False)
+        chunk = layer0.analyze(opt, x, f0 * 1.02)
+        out = layer0.synthesize(create_soptions(), chunk)
+        res[method] = snr_db(x, np.asarray(out.y_sin))
+    assert res["pp"] > res["czt"] + 3.0, res
+
+
+def test_analysis_no_nans_under_debug_nans():
+    """jax_debug_nans job (SURVEY.md section 5): the full pipeline must
+    not generate NaNs/Infs anywhere, including masked lanes."""
+    x, f0 = testsig.make_test_utterance(duration=0.3, noise_level=0.1,
+                                        unvoiced_tail_frac=0.4)
+    with jax.debug_nans(True):
+        opt = create_aoptions()
+        chunk = layer0.analyze(opt, x, f0)
+        out = layer0.synthesize(create_soptions(), chunk)
+        np.asarray(out.y)
+
+
+class TestChexVariants(chex.TestCase):
+    @chex.variants(with_jit=True, without_jit=True)
+    def test_oscillator_bank_jit_consistency(self):
+        rng = np.random.default_rng(0)
+        N, K, nhop = 11, 8, 40
+        nx = N * nhop
+        f0 = jnp.full((N,), 150.0)
+        cyc = harmonics.sample_cycles(f0, nhop, 16000.0, nx)
+        centers = jnp.arange(N, dtype=jnp.int32) * nhop
+        ampl = jnp.asarray(rng.uniform(0, 1, (N, K)), jnp.float32)
+        phse = jnp.asarray(rng.uniform(-3, 3, (N, K)), jnp.float32)
+        mask = jnp.ones((N, K), jnp.float32)
+
+        fn = self.variant(
+            lambda a, p: harmonics.oscillator_bank(
+                cyc, centers, a, p, mask, nhop=nhop))
+        out = fn(ampl, phse)
+        assert out.shape == (N, 2 * nhop)
+        assert np.all(np.isfinite(np.asarray(out)))
