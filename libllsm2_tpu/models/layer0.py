@@ -173,13 +173,12 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # synthesis
 # ---------------------------------------------------------------------------
 
-def _render_envelopes(chunk: Chunk, cyc, centers, nx: int):
+def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
     """Reconstruct per-channel temporal envelopes and their DC baseline from
     edc + eenv harmonics via per-frame additive synthesis + OLA
     (reference: layer0.c noise synthesis -- envelope reconstruction).
     Returns (env [C, nx], base [C, nx])."""
     conf = chunk.conf
-    nhop = conf.nhop
     N, C, Ke = chunk.eenv_a.shape
     emask = jnp.broadcast_to((chunk.f0 > 0)[:, None], (N, Ke)).astype(jnp.float32)
 
@@ -200,12 +199,13 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int):
     return jnp.maximum(env, 0.0), jnp.maximum(base, 1e-8)
 
 
-def _synth_noise(chunk: Chunk, cyc, nx: int, key) -> jnp.ndarray:
+def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
+                 nhop: int) -> jnp.ndarray:
     """Stochastic noise component: WOLA-filtered white noise shaped by the
     warped PSD, band-split, then modulated by the reconstructed temporal
-    envelopes (reference: layer0.c noise synthesis path)."""
+    envelopes (reference: layer0.c noise synthesis path).  Renders at the
+    (possibly different) output rate fs."""
     conf = chunk.conf
-    nhop = conf.nhop
     N = chunk.nfrm
     T = 2 * nhop
     nbin = T // 2 + 1
@@ -218,14 +218,18 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key) -> jnp.ndarray:
     w = jnp.sqrt(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T))
     w = w.astype(jnp.float32)
 
-    pos = warp.unwarp_interp_positions(nbin, conf.npsd, conf.fs, conf.noswarp)
+    # PSD axis is warped over the ANALYSIS band [0, conf.fs/2]; the output
+    # grid spans [0, fs/2] (clamped into that axis when upsampling)
+    f = jnp.arange(nbin) * fs / T
+    wmax = warp.warp_frequency(conf.fs / 2.0, conf.noswarp)
+    pos = jnp.clip(warp.warp_frequency(f, conf.noswarp) / wmax
+                   * conf.npsd - 0.5, 0.0, conf.npsd - 1.0)
     gain = jnp.sqrt(jnp.maximum(
         jax.vmap(lambda p: interp.interp1_uniform(p, pos))(chunk.psd), 0.0))
 
     spec = jnp.fft.rfft(frames * w[None, :], n=T)               # [N, nbin]
-    f = jnp.arange(nbin) * conf.fs / T
     edges = conf.chan_edges
-    env, base = _render_envelopes(chunk, cyc, centers, nx)      # [C, nx]
+    env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
 
     y = jnp.zeros(nx, jnp.float32)
     for c in range(conf.nchannel):
@@ -245,22 +249,33 @@ def synthesize(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
 @functools.partial(jax.jit, static_argnums=0)
 def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     conf = chunk.conf
-    assert abs(opt.fs - conf.fs) < 1e-6, (
-        "resampling on synthesis not supported yet; set soptions.fs = conf.fs")
-    nhop = conf.nhop
+    fs = opt.fs
+    # render DIRECTLY at the requested output rate (reference: soptions.fs;
+    # the C library resamples -- here the oscillator bank and noise WOLA
+    # just run on the output sample grid, masking harmonics above the new
+    # Nyquist, so no resampler is needed)
+    nhop = int(round(conf.thop * fs))
+    assert abs(conf.thop * fs - nhop) < 1e-6, (
+        "thop * soptions.fs must be an integer number of samples")
     nx = chunk.nfrm * nhop
     centers = jnp.arange(chunk.nfrm, dtype=jnp.int32) * nhop
-    cyc = harmonics.sample_cycles(chunk.f0, nhop, conf.fs, nx)
+    cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)
+
+    K = chunk.ampl.shape[-1]
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    nyq_mask = (kharm[None, :] * jnp.where(chunk.f0 > 0, chunk.f0, 100.0)
+                [:, None]) < 0.5 * fs
+    hm_mask = chunk.hm_mask * nyq_mask
 
     with jax.named_scope("llsm.synth.harmonic"):
         segs = harmonics.oscillator_bank(cyc, centers, chunk.ampl,
-                                         chunk.phse, chunk.hm_mask,
+                                         chunk.phse, hm_mask,
                                          nhop=nhop,
                                          use_pallas=opt.use_pallas)
         y_sin = harmonics.overlap_add_half(segs, nhop, nx)
 
     with jax.named_scope("llsm.synth.noise"):
         key = jax.random.PRNGKey(opt.noise_seed)
-        y_nos = _synth_noise(chunk, cyc, nx, key)
+        y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop)
 
-    return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=conf.fs)
+    return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)

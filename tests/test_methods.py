@@ -70,3 +70,25 @@ class TestChexVariants(chex.TestCase):
         out = fn(ampl, phse)
         assert out.shape == (N, 2 * nhop)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_synthesis_at_different_fs():
+    """Reference: llsm_soptions.fs -- synthesis at a different sample rate
+    renders directly on the output grid."""
+    x, f0 = testsig.make_test_utterance(duration=0.5)
+    chunk = layer0.analyze(create_aoptions(), x, f0)
+    for fs_out, ratio in [(8000.0, 0.5), (32000.0, 2.0)]:
+        out = layer0.synthesize(create_soptions(fs=fs_out), chunk)
+        y = np.asarray(out.y)
+        assert len(y) == int(len(x) * ratio)
+        assert np.all(np.isfinite(y))
+        # the dominant peak must sit on a harmonic of the SAME absolute F0
+        mid = len(y) // 2
+        w = min(2048, len(y) - mid)
+        spec = np.abs(np.fft.rfft(np.asarray(out.y_sin)[mid:mid + w]
+                                  * np.hanning(w)))
+        fpk_hz = spec[5:].argmax() + 5
+        fpk_hz = fpk_hz * fs_out / w
+        f0_mid = float(chunk.f0[chunk.nfrm // 2])
+        ratio_h = fpk_hz / f0_mid
+        assert abs(ratio_h - round(ratio_h)) < 0.25, (fpk_hz, f0_mid)
