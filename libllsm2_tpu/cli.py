@@ -1,0 +1,104 @@
+"""Command-line demos (the user-facing analog of the reference's test/
+demo binaries, SURVEY.md section 4):
+
+  python -m libllsm2_tpu.cli roundtrip in.wav out.wav
+  python -m libllsm2_tpu.cli pitch-shift in.wav out.wav --ratio 2.0
+  python -m libllsm2_tpu.cli stretch in.wav out.wav --ratio 1.5
+  python -m libllsm2_tpu.cli pbp in.wav out.wav [--rd 1.8]
+  python -m libllsm2_tpu.cli code in.wav out.npz / decode in.npz out.wav
+  python -m libllsm2_tpu.cli track-f0 in.wav out.txt
+
+All commands run F0 tracking internally (no external tracker needed) and
+accept --fs-out for output-rate conversion.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _analyze_file(path: str, args):
+    import jax.numpy as jnp
+
+    from . import create_aoptions
+    from .models import layer0
+    from .ops import f0 as f0mod
+    from .utils import audio
+
+    x, fs = audio.wavread(path)
+    opt = create_aoptions(fs=fs)
+    cfg = f0mod.F0Config(fs=fs, nhop=opt.conf.nhop)
+    f0 = np.asarray(f0mod.track(cfg, jnp.asarray(x, jnp.float32)))
+    chunk = layer0.analyze(opt, x, f0)
+    return x, fs, chunk
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="libllsm2_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ["roundtrip", "pitch-shift", "stretch", "pbp", "code",
+                 "decode", "track-f0"]:
+        p = sub.add_parser(name)
+        p.add_argument("input")
+        p.add_argument("output")
+        p.add_argument("--ratio", type=float, default=2.0)
+        p.add_argument("--rd", type=float, default=None)
+        p.add_argument("--fs-out", type=float, default=None)
+        p.add_argument("--seed", type=int, default=0x5eed)
+    args = ap.parse_args(argv)
+
+    from . import create_soptions
+    from .models import coder, edits, layer0, layer1, pbp
+    from .utils import audio, serialize
+
+    if args.cmd == "track-f0":
+        import jax.numpy as jnp
+        from .ops import f0 as f0mod
+        x, fs = audio.wavread(args.input)
+        cfg = f0mod.F0Config(fs=fs)
+        f0 = np.asarray(f0mod.track(cfg, jnp.asarray(x, jnp.float32)))
+        np.savetxt(args.output, f0, fmt="%.3f")
+        print(f"wrote {len(f0)} frames -> {args.output}")
+        return
+
+    if args.cmd == "decode":
+        chunk = serialize.chunk_load(args.input)
+        sopt = create_soptions(fs=args.fs_out or chunk.conf.fs,
+                               noise_seed=args.seed)
+        out = layer0.synthesize(sopt, chunk)
+        audio.wavwrite(args.output, np.asarray(out.y), out.fs)
+        print(f"decoded -> {args.output}")
+        return
+
+    x, fs, chunk = _analyze_file(args.input, args)
+    sopt = create_soptions(fs=args.fs_out or fs, noise_seed=args.seed)
+
+    if args.cmd == "roundtrip":
+        out = layer0.synthesize(sopt, chunk)
+    elif args.cmd == "pitch-shift":
+        l1 = layer1.chunk_to_layer1(chunk)
+        out = layer0.synthesize(sopt, edits.pitch_shift(l1, args.ratio))
+    elif args.cmd == "stretch":
+        out = layer0.synthesize(sopt, edits.time_stretch(chunk, args.ratio))
+    elif args.cmd == "pbp":
+        l1 = layer1.chunk_to_layer1(chunk)
+        if args.rd is not None:
+            l1 = l1.replace(rd=np.full(l1.nfrm, args.rd, np.float32))
+        out = pbp.pbp_synthesize(sopt, l1)
+    elif args.cmd == "code":
+        l1 = layer1.chunk_to_layer1(chunk)
+        serialize.chunk_save(args.output, l1)
+        print(f"encoded {l1.nfrm} frames -> {args.output}")
+        return
+    else:
+        ap.error(f"unknown command {args.cmd}")
+
+    audio.wavwrite(args.output, np.asarray(out.y), out.fs)
+    print(f"{args.cmd}: {args.input} -> {args.output} "
+          f"({len(np.asarray(out.y)) / out.fs:.2f}s @ {out.fs:.0f} Hz)")
+
+
+if __name__ == "__main__":
+    main()
