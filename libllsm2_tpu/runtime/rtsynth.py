@@ -67,6 +67,33 @@ def _render_frame(conf: ChunkConf, ampl, phse, mask, dc_seg, psd, edc,
     return seg_h + seg_n
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_pulses(conf: ChunkConf, vtmagn, rd, f0, frac_delays, valid):
+    """Render up to P glottal pulses for one hop (streaming PbP mode;
+    reference: llsmrt.c PbP -- SURVEY.md 3.4).  Returns [P, nfft]."""
+    from ..models import layer1 as l1m
+    from ..ops import lf, spectral
+
+    nfft = conf.nfft_spec
+    nspec = conf.nspec
+    fs = conf.fs
+    fbins = jnp.linspace(0.0, fs / 2.0, nspec)
+    vt = spectral.minphase_spectrum(vtmagn)                  # [nspec]
+    lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)
+           * conf.lip_radius / l1m.SPEED_OF_SOUND
+           ) * jnp.exp(1j * jnp.pi / 2.0).astype(jnp.complex64)
+    period = 1.0 / jnp.maximum(f0, 1e-2)
+    params = lf.lf_from_rd(rd)
+    src = lf.lf_spectrum(fbins * period, params)
+    src1 = lf.lf_spectrum(jnp.float32(1.0), params)
+    src = src / jnp.maximum(jnp.abs(src1), 1e-12)
+    delay = jnp.exp((-2j * jnp.pi) * fbins[None, :] / fs
+                    * frac_delays[:, None])                  # [P, nspec]
+    spec = (period / 2.0 * fs) * vt[None, :] * src[None, :] \
+        * lip[None, :] * delay
+    return jnp.fft.irfft(spec, n=nfft) * valid[:, None]
+
+
 class RTSynthesizer:
     """Streaming synthesizer (reference: llsm_rtsynth_buffer).
 
@@ -82,11 +109,15 @@ class RTSynthesizer:
     """
 
     def __init__(self, sopt: SynthesisOptions, conf: ChunkConf,
-                 capacity_frames: int = 64, phase_mode: str = "absolute"):
+                 capacity_frames: int = 64, phase_mode: str = "absolute",
+                 synth_mode: str = "harmonic"):
         assert phase_mode in ("absolute", "propagate")
+        assert synth_mode in ("harmonic", "pbp")
         self.sopt = sopt
         self.conf = conf
         self.phase_mode = phase_mode
+        self.synth_mode = synth_mode
+        self._pulse_cycles = 0.0   # cycle phase for PbP onset placement
         self.nhop = conf.nhop
         self.ring = OLARing(capacity_frames * self.nhop)
         self._pending = None      # one-frame lookahead
@@ -120,10 +151,14 @@ class RTSynthesizer:
     def _frame_fields(self, frame):
         if isinstance(frame, Chunk):
             g = lambda a: np.asarray(a)[0]
-            return dict(f0=float(np.asarray(frame.f0)[0]), ampl=g(frame.ampl),
-                        phse=g(frame.phse), mask=g(frame.hm_mask),
-                        psd=g(frame.psd), edc=g(frame.edc),
-                        eenv_a=g(frame.eenv_a), eenv_p=g(frame.eenv_p))
+            d = dict(f0=float(np.asarray(frame.f0)[0]), ampl=g(frame.ampl),
+                     phse=g(frame.phse), mask=g(frame.hm_mask),
+                     psd=g(frame.psd), edc=g(frame.edc),
+                     eenv_a=g(frame.eenv_a), eenv_p=g(frame.eenv_p))
+            if frame.has_layer1:
+                d["rd"] = float(np.asarray(frame.rd)[0])
+                d["vtmagn"] = g(frame.vtmagn)
+            return d
         return dict(frame)
 
     def _render(self, cur, f0_prev, f0_next):
@@ -137,8 +172,11 @@ class RTSynthesizer:
         if self.phase_mode == "propagate" and f0c > 0:
             k = np.arange(1, self.conf.maxnhar + 1)
             phse = phse + (2.0 * np.pi) * ((k * self._cycles) % 1.0)
+        ampl = np.asarray(cur["ampl"], np.float32)
+        if self.synth_mode == "pbp":
+            ampl = np.zeros_like(ampl)   # harmonics come from pulses
         seg = _render_frame(
-            self.conf, jnp.asarray(cur["ampl"], jnp.float32),
+            self.conf, jnp.asarray(ampl, jnp.float32),
             jnp.asarray(phse, jnp.float32),
             jnp.asarray(cur["mask"], jnp.float32), jnp.asarray(dc),
             jnp.asarray(cur["psd"], jnp.float32),
@@ -147,6 +185,8 @@ class RTSynthesizer:
             jnp.asarray(cur["eenv_p"], jnp.float32),
             jnp.asarray(noise), jnp.float32(1.0 if f0c > 0 else 0.0))
         seg = np.asarray(seg)
+        if self.synth_mode == "pbp" and f0c > 0 and "vtmagn" in cur:
+            self._emit_pulses(cur, f0c)
         pos = i * self.nhop - self.nhop
         if pos < 0:
             seg = seg[-pos:]
@@ -158,6 +198,35 @@ class RTSynthesizer:
                         + 0.5 * (f0c + (f0_next if f0_next > 0 else f0c))
                         * self.conf.thop) % 1.0
         self._i += 1
+
+    def _emit_pulses(self, cur, f0c: float) -> None:
+        """PbP mode: place the glottal pulses whose onsets fall in the hop
+        [i*nhop, (i+1)*nhop) and OLA them into the ring."""
+        nhop = self.nhop
+        fs = self.conf.fs
+        i = self._i
+        # onsets: cycle phase crosses integers; F0 held constant in-hop
+        c0 = self._pulse_cycles
+        hop_cycles = f0c * nhop / fs
+        onsets = []
+        n_cross = int(np.floor(c0 + hop_cycles) - np.floor(c0))
+        for p in range(n_cross):
+            frac_cycle = (np.ceil(c0) + p - c0)
+            t = frac_cycle / f0c                     # seconds into the hop
+            onsets.append(t * fs)
+        self._pulse_cycles = (c0 + hop_cycles) % 1.0
+        if not onsets:
+            return
+        P = len(onsets)
+        onset_int = [int(np.floor(o)) for o in onsets]
+        fracs = np.asarray([o - int(np.floor(o)) for o in onsets],
+                           np.float32)
+        pulses = np.asarray(_render_pulses(
+            self.conf, jnp.asarray(cur["vtmagn"], jnp.float32),
+            jnp.float32(cur.get("rd", 1.0)), jnp.float32(f0c),
+            jnp.asarray(fracs), jnp.ones(P, jnp.float32)))
+        for p in range(P):
+            self.ring.add(pulses[p], i * nhop + onset_int[p])
 
     # -- public API (reference: llsm_rtsynth_buffer_feed/_fetch) ---------
     def feed(self, frame) -> None:

@@ -85,3 +85,35 @@ class TestStreaming:
         y = rt.fetch(rt.readable())
         assert np.all(np.isfinite(y))
         assert np.std(y) > 0.0
+
+
+class TestStreamingPbP:
+    def test_stream_pbp_runs_and_is_periodic(self):
+        from libllsm2_tpu.models import layer1
+        x, f0 = testsig.make_test_utterance(duration=0.5)
+        chunk = layer1.chunk_to_layer1(
+            layer0.analyze(create_aoptions(), x, f0))
+        sopt = create_soptions()
+        rt = rtsynth.RTSynthesizer(sopt, chunk.conf,
+                                   capacity_frames=chunk.nfrm + 8,
+                                   synth_mode="pbp")
+        out = []
+        for i in range(chunk.nfrm):
+            rt.feed(chunk.frame(i))
+            got = rt.fetch(rt.readable())
+            if len(got):
+                out.append(got)
+        rt.flush()
+        got = rt.fetch(rt.readable())
+        if len(got):
+            out.append(got)
+        y = np.concatenate(out)
+        assert np.all(np.isfinite(y))
+        assert np.std(y) > 0.02
+        # periodic at f0: autocorrelation near one period
+        mid = len(y) // 2
+        seg = y[mid:mid + 1600]
+        f0_mid = float(chunk.f0[chunk.nfrm // 2])
+        lag = int(round(16000.0 / f0_mid))
+        ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+        assert ac[lag - 3:lag + 4].max() > 0.3 * ac[0]
