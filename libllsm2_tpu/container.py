@@ -143,6 +143,19 @@ def phase_propagate(chunk: Chunk, sign: int) -> Chunk:
     return chunk.replace(phse=phse * chunk.hm_mask)
 
 
+def phase_shift(chunk: Chunk, dt: float) -> Chunk:
+    """Shift every frame's harmonic phases by a time offset dt [s]:
+    phi_k += 2 pi (k+1) f0 dt (reference: frame.c -> llsm_frame_phaseshift
+    applied chunk-wide).  Used to realign frames after retiming edits."""
+    K = chunk.ampl.shape[-1]
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    cyc = _frac(jnp.where(chunk.f0 > 0, chunk.f0, 0.0) * dt)
+    ph = _frac(cyc[..., :, None] * kharm)
+    phse = chunk.phse + 2.0 * jnp.pi * ph
+    phse = jnp.arctan2(jnp.sin(phse), jnp.cos(phse))
+    return chunk.replace(phse=phse * chunk.hm_mask)
+
+
 def phase_sync(chunk: Chunk) -> Chunk:
     """Shift each frame's phases so the fundamental has phase 0
     (reference: frame.c -> llsm_frame_phasesync applied chunk-wide)."""

@@ -62,3 +62,19 @@ def test_phase_sync_zeroes_fundamental():
                     f0=jnp.full(5, 150.0))
     out = phase_sync(ch)
     np.testing.assert_allclose(np.asarray(out.phse[:, 0]), 0.0, atol=1e-5)
+
+
+def test_phase_shift_advances_by_time():
+    conf = ChunkConf()
+    ch = create_chunk(conf, 4)
+    f0 = jnp.full(4, 100.0)
+    ch = ch.replace(f0=f0, hm_mask=jnp.ones((4, conf.maxnhar)))
+    dt = 0.0025  # quarter period at 100 Hz
+    from libllsm2_tpu.container import phase_shift
+    out = phase_shift(ch, dt)
+    # fundamental advances by 2*pi*100*0.0025 = pi/2
+    np.testing.assert_allclose(np.asarray(out.phse[:, 0]), np.pi / 2,
+                               atol=1e-5)
+    # harmonic 2 (slot 1) advances by pi
+    np.testing.assert_allclose(np.abs(np.asarray(out.phse[:, 1])), np.pi,
+                               atol=1e-5)
