@@ -56,8 +56,6 @@ def _difference_function(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
     csum = jnp.concatenate(
         [jnp.zeros((N, 1)), jnp.cumsum(sq, axis=-1)], axis=-1)     # [N, W+1]
     tau = jnp.arange(tau_max)
-    e_head = csum[:, W] - csum[:, W - 1] * 0.0  # total energy, [N]
-    e_left = jnp.take(csum, W - tau, axis=-1) - csum[:, :1] * 0.0  # [N, tau]
     # e(0, W-tau): energy of x_0..x_{W-tau-1}; e(tau, W): of x_tau..x_{W-1}
     e0 = jnp.take(csum, W - tau, axis=-1)
     et = csum[:, W:W + 1] - jnp.take(csum, tau, axis=-1)

@@ -89,7 +89,9 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
             if key in done:
                 continue
             sel = idxs[start:start + batch_size]
-            B = len(sel)
+            # pad partial batches to batch_size so each bucket compiles
+            # exactly one program shape (padding rows have nx_valid = 0)
+            B = batch_size
             x = np.zeros((B, b * nhop), np.float32)
             f0 = np.zeros((B, b), np.float32)
             nxv = np.zeros((B,), np.int32)
@@ -105,4 +107,4 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
             y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j, nxj)
             done.add(key)
             yield {"bucket": b, "indices": sel,
-                   "snr": np.asarray(snr), "y": y}
+                   "snr": np.asarray(snr)[:len(sel)], "y": y}

@@ -1,0 +1,78 @@
+"""Edge-case robustness: silence, all-unvoiced, F0 at the floor/ceiling,
+very short utterances -- the masked-lane NaN traps called out in
+SURVEY.md section 7 "Hard parts"."""
+import numpy as np
+import jax.numpy as jnp
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import coder, layer0, layer1, pbp
+from libllsm2_tpu.utils import testsig
+
+
+def _pipeline(x, f0):
+    opt = create_aoptions()
+    chunk = layer0.analyze(opt, x, f0)
+    out = layer0.synthesize(create_soptions(), chunk)
+    return chunk, np.asarray(out.y)
+
+
+def test_silence_input():
+    nfrm = 60
+    x = np.zeros(nfrm * 80)
+    chunk, y = _pipeline(x, np.zeros(nfrm))
+    assert np.all(np.isfinite(y))
+    assert np.abs(y).max() < 1e-3
+
+
+def test_all_unvoiced_noise():
+    rng = np.random.default_rng(0)
+    nfrm = 60
+    x = rng.standard_normal(nfrm * 80) * 0.1
+    chunk, y = _pipeline(x, np.zeros(nfrm))
+    assert np.all(np.isfinite(y))
+    assert 0.3 < np.std(y) / np.std(x) < 3.0
+
+
+def test_f0_at_floor_and_ceiling():
+    for f0v in (42.0, 590.0):
+        nfrm = 80
+        f0 = np.full(nfrm, f0v)
+        x, _ = testsig.synth_harmonic(f0, nharmonics=20)
+        chunk, y = _pipeline(x, f0)
+        assert np.all(np.isfinite(y)), f0v
+        assert np.std(y) > 0.05 * np.std(x), f0v
+
+
+def test_very_short_utterance():
+    x, f0 = testsig.make_test_utterance(duration=0.05)  # 10 frames
+    chunk, y = _pipeline(x, f0)
+    assert np.all(np.isfinite(y))
+
+
+def test_voicing_boundary_transitions():
+    """Alternating voiced/unvoiced runs must not blow up phases/masks."""
+    nfrm = 90
+    f0 = np.full(nfrm, 150.0)
+    f0[20:30] = 0.0
+    f0[60:75] = 0.0
+    x, _ = testsig.synth_harmonic(f0, noise_level=0.1)
+    chunk, y = _pipeline(x, f0)
+    assert np.all(np.isfinite(y))
+    m = np.asarray(chunk.hm_mask)
+    assert m[25].sum() == 0 and m[40].sum() > 0
+
+
+def test_layer1_and_pbp_on_sparse_voicing():
+    nfrm = 80
+    f0 = np.full(nfrm, 160.0)
+    f0[:10] = 0.0
+    f0[-10:] = 0.0
+    x, _ = testsig.synth_harmonic(f0, noise_level=0.05)
+    opt = create_aoptions()
+    l1 = layer1.chunk_to_layer1(layer0.analyze(opt, x, f0))
+    out = pbp.pbp_synthesize(create_soptions(), l1)
+    assert np.all(np.isfinite(np.asarray(out.y)))
+    cc = coder.CoderConfig(conf=l1.conf)
+    back = coder.decode(cc, coder.encode(cc, l1))
+    out2 = layer0.synthesize(create_soptions(), back)
+    assert np.all(np.isfinite(np.asarray(out2.y)))
