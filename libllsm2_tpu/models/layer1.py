@@ -79,11 +79,19 @@ def lip_radiation_logmag(f, lip_radius: float):
 def fit_rd(log_ampl: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Estimate Rd per frame from the low-harmonic amplitude tilt.
 
-    log_ampl, mask: [N, K].  Returns rd [N].  Grid search over the static
-    Rd table + parabolic refinement (reference: layer1.c Rd fit; the exact
-    upstream objective is marked [M] in SURVEY.md so this uses the robust
-    tilt-matching form -- round-trip exactness does not depend on it
-    because vtmagn/vsphse absorb any source mismatch).
+    log_ampl, mask: [N, K] -- harmonic log amplitudes with the lip
+    radiation's known +6 dB/oct tilt already removed (the caller divides
+    it out), so the residual tilt is glottal source x vocal tract.
+    Returns rd [N].  Grid search over the static Rd table + parabolic
+    refinement (reference: layer1.c Rd fit; the exact upstream objective
+    is marked [M] in SURVEY.md so this uses the robust tilt-matching form
+    -- round-trip exactness does not depend on it because vtmagn/vsphse
+    absorb any source mismatch).
+
+    Known limitation: formant structure contaminates the tilt (vocal-
+    tract tilt is attributed to the source), biasing estimates low by up
+    to ~2x on strongly-resonant material; ordering across Rd values is
+    preserved (tests/test_layer1.py::TestRdRecovery).
     """
     grid, src_logmag, _ = _source_tables(log_ampl.shape[-1])
     KR = RD_FIT_HARMONICS
@@ -130,11 +138,11 @@ def chunk_to_layer1(chunk: Chunk) -> Chunk:
 
     log_ampl = jnp.where(chunk.hm_mask > 0,
                          jnp.log(jnp.maximum(chunk.ampl, 1e-10)), LOG_FLOOR)
-    rd = fit_rd(log_ampl, chunk.hm_mask)
+    lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)
+    rd = fit_rd(log_ampl - lip_logmag, chunk.hm_mask)
     rd = jnp.where(voiced, rd, 1.0)
 
     src_logmag, src_phase = _source_at_harmonics(rd, K)
-    lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)
 
     # vocal-tract log magnitude at the harmonic points
     vt_k = log_ampl - src_logmag - lip_logmag               # [N, K]

@@ -94,3 +94,56 @@ def make_test_utterance(duration=1.0, fs=16000.0, thop=0.005, seed=0,
     x, f0 = synth_harmonic(f0, fs=fs, thop=thop, seed=seed,
                            noise_level=noise_level)
     return x, f0
+
+
+def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
+                    formants=((700, 80), (1220, 90), (2600, 120)),
+                    noise_level=0.02, seed=0):
+    """Physically-motivated fixture: LF glottal flow derivative pulses
+    (known Rd) through an all-pole formant filter, plus aspiration noise.
+    Unlike synth_harmonic, the source has a *known glottal shape*, so
+    layer-1 Rd estimation can be validated against ground truth.
+
+    Uses ops.lf for the pulse shape (host-evaluated); the estimation path
+    under test (harmonic analysis -> amplitude-tilt Rd fit) is
+    independent of it.
+    """
+    import jax.numpy as jnp
+    from scipy import signal as sps
+
+    from ..ops import lf
+
+    f0_frames = np.asarray(f0_frames, np.float64)
+    nhop = int(round(thop * fs))
+    nfrm = len(f0_frames)
+    nx = nfrm * nhop
+    t = np.arange(nx) / fs
+    frame_t = np.arange(nfrm) * thop
+    f0_s = np.interp(t, frame_t, np.where(f0_frames > 0, f0_frames, 0.0))
+    voiced_s = f0_s > 1.0
+    cycles = np.cumsum(np.where(voiced_s, f0_s, 0.0)) / fs
+
+    p = lf.lf_from_rd(float(rd))
+    # sample the pulse shape within each cycle: u[n] = E(frac(cycles[n]))
+    phase = cycles % 1.0
+    u = np.asarray(lf.lf_flow_deriv(jnp.asarray(phase, jnp.float32), p))
+    u = u * voiced_s
+
+    # all-pole formant filter (cascade of resonators)
+    x = u.astype(np.float64)
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        a = [1.0, -2 * r * np.cos(th), r * r]
+        x = sps.lfilter([1.0 - r], a, x)
+    # lip radiation (differentiator)
+    x = np.diff(x, prepend=0.0)
+
+    if noise_level > 0:
+        rng = np.random.default_rng(seed)
+        n = rng.standard_normal(nx)
+        b, a = sps.butter(2, 2500 / (fs / 2), "highpass")
+        n = sps.lfilter(b, a, n)
+        x = x + noise_level * np.std(x) / max(np.std(n), 1e-9) * n
+    x = x / max(np.abs(x).max(), 1e-9)
+    return x, f0_frames
