@@ -108,3 +108,15 @@ class TestAudio:
         y, fs = audio.wavread(p)
         assert fs == 16000.0
         np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1e-3)
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from libllsm2_tpu import create_aoptions
+        from libllsm2_tpu.models import layer0
+        x, f0 = testsig.make_test_utterance(duration=0.2)
+        chunk = layer0.analyze(create_aoptions(), x, f0)
+        p = str(tmp_path / "ckpt")
+        serialize.chunk_save_orbax(p, chunk)
+        back = serialize.chunk_load_orbax(p)
+        assert back.conf == chunk.conf
+        np.testing.assert_allclose(np.asarray(back.psd),
+                                   np.asarray(chunk.psd), atol=1e-7)
