@@ -14,7 +14,6 @@ accept --fs-out for output-rate conversion.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -28,7 +28,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import ChunkConf
 from ..container import Chunk
 from ..ops import interp, lf, spectral
 

@@ -5,8 +5,6 @@ sequential op -- used off the hot path), Levinson-Durbin via lax.scan with
 static order."""
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ this is the same reason the reference sizes windows by 1/F0.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

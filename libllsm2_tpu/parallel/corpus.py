@@ -11,7 +11,7 @@ reduction.  Mixed lengths are handled by bucketing to a few frame counts
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

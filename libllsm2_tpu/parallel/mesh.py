@@ -9,7 +9,7 @@ axis of very long utterances); XLA inserts all collectives.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

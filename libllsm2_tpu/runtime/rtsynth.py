@@ -15,8 +15,6 @@ frame + one OLA half-window).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

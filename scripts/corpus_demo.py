@@ -8,10 +8,13 @@ Prints one JSON line with throughput and SNR statistics.
 """
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_utts=1000, batch=64, pallas=1):
