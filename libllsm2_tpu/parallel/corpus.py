@@ -106,5 +106,8 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
                 xj, f0j, nxj = meshlib.shard_batch((xj, f0j, nxj), mesh)
             y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j, nxj)
             done.add(key)
+            # snr/y stay on device: batches dispatch asynchronously and
+            # the caller syncs once at the end (keeps the device pipeline
+            # full instead of round-tripping per batch)
             yield {"bucket": b, "indices": sel,
-                   "snr": np.asarray(snr)[:len(sel)], "y": y}
+                   "snr": snr[:len(sel)], "y": y}

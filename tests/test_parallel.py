@@ -60,6 +60,7 @@ def test_run_corpus_bucketed_with_checkpoint():
                                      bucket_frames=(64, 128),
                                      batch_size=4, checkpoint=ckpt))
     covered = sorted(i for r in results for i in r["indices"])
+    assert all(np.all(np.isfinite(np.asarray(r["snr"]))) for r in results)
     assert covered == list(range(12))
     # resume: everything already done -> no new batches
     results2 = list(corpus.run_corpus(opt, sopt, sigs, f0s,
