@@ -10,12 +10,14 @@ from .container import (Chunk, create_chunk, cumulative_cycles,
 
 __version__ = "0.1.0"
 
+from .container import phase_shift
+
 __all__ = [
     "AnalysisOptions", "ChunkConf", "SynthesisOptions",
     "create_aoptions", "create_soptions",
     "Chunk", "create_chunk", "cumulative_cycles",
-    "phase_propagate", "phase_sync",
-    "analyze", "synthesize",
+    "phase_propagate", "phase_shift", "phase_sync",
+    "analyze", "synthesize", "analyze_batch", "synthesize_batch",
 ]
 
 
@@ -26,4 +28,14 @@ def analyze(*args, **kw):
 
 def synthesize(*args, **kw):
     from .models.layer0 import synthesize as _s
+    return _s(*args, **kw)
+
+
+def analyze_batch(*args, **kw):
+    from .models.layer0 import analyze_batch as _a
+    return _a(*args, **kw)
+
+
+def synthesize_batch(*args, **kw):
+    from .models.layer0 import synthesize_batch as _s
     return _s(*args, **kw)

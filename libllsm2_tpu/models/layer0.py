@@ -279,3 +279,20 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
         y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop)
 
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)
+
+
+# ---------------------------------------------------------------------------
+# batched entry points (public API sugar over the vmapped pipeline)
+# ---------------------------------------------------------------------------
+
+def analyze_batch(opt: AnalysisOptions, x, f0) -> Chunk:
+    """Batched analysis: x [B, nx], f0 [B, nfrm] -> Chunk with leading
+    batch axis.  Shard the inputs over a mesh's batch axis (see
+    parallel.mesh.shard_batch) to run data-parallel."""
+    return jax.vmap(lambda a, b: _analyze_jit(opt, a, b))(
+        jnp.asarray(x, jnp.float32), jnp.asarray(f0, jnp.float32))
+
+
+def synthesize_batch(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
+    """Batched synthesis of a chunk with a leading batch axis."""
+    return jax.vmap(lambda c: _synthesize_jit(opt, c))(chunk)

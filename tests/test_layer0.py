@@ -112,3 +112,18 @@ class TestRoundTrip:
         px = np.mean(x[800:-800] ** 2)
         py = np.mean(y[800:-800] ** 2)
         assert 0.5 < py / px < 2.0, (px, py)
+
+
+def test_batched_api(fixture_harm):
+    import jax.numpy as jnp
+    from libllsm2_tpu import analyze_batch, synthesize_batch
+    x, f0 = fixture_harm
+    xb = jnp.stack([jnp.asarray(x, jnp.float32)] * 2)
+    f0b = jnp.stack([jnp.asarray(f0, jnp.float32)] * 2)
+    opt = create_aoptions()
+    chunks = analyze_batch(opt, xb, f0b)
+    assert chunks.ampl.shape[0] == 2
+    out = synthesize_batch(create_soptions(), chunks)
+    assert out.y.shape[0] == 2
+    s = snr_db(x, np.asarray(out.y_sin[0]))
+    assert s >= 40.0, s
