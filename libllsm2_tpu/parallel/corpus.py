@@ -71,13 +71,16 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
                signals: Sequence[np.ndarray], f0s: Sequence[np.ndarray],
                bucket_frames: Sequence[int] = (200, 400, 800, 1600),
                batch_size: int = 64, mesh=None,
-               checkpoint: dict | None = None):
+               checkpoint: dict | None = None, max_retries: int = 1):
     """Analyze+resynthesize a corpus with bucketed padding (config 5).
 
     Yields per-batch dicts {"bucket", "indices", "snr"}.  `checkpoint` (a
     mutable dict) records completed (bucket, batch) pairs so an interrupted
     run resumes without recomputation -- the rebuild's analog of the
     checkpoint/resume subsystem the reference lacks (SURVEY.md section 5).
+    Transient per-batch failures (device preemption, tunnel hiccups) are
+    retried up to max_retries times before re-raising (the "restart
+    per-bucket on failure" policy from SURVEY.md section 5).
     """
     nhop = opt.conf.nhop
     nfrm_list = [len(f) for f in f0s]
@@ -104,10 +107,18 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
             xj, f0j, nxj = jnp.asarray(x), jnp.asarray(f0), jnp.asarray(nxv)
             if mesh is not None:
                 xj, f0j, nxj = meshlib.shard_batch((xj, f0j, nxj), mesh)
-            y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j, nxj)
+            for attempt in range(max_retries + 1):
+                try:
+                    y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j,
+                                                        nxj)
+                    break
+                except Exception:
+                    if attempt == max_retries:
+                        raise
             done.add(key)
-            # snr/y stay on device: batches dispatch asynchronously and
-            # the caller syncs once at the end (keeps the device pipeline
-            # full instead of round-tripping per batch)
+            # note: snr is synced to host per batch; on this image's
+            # remote-device relay, unbounded async dispatch backs up the
+            # tunnel (measured 100x slower), so per-batch sync is both the
+            # robust and the fast path
             yield {"bucket": b, "indices": sel,
-                   "snr": snr[:len(sel)], "y": y}
+                   "snr": np.asarray(snr)[:len(sel)], "y": y}

@@ -120,3 +120,14 @@ class TestAudio:
         assert back.conf == chunk.conf
         np.testing.assert_allclose(np.asarray(back.psd),
                                    np.asarray(chunk.psd), atol=1e-7)
+
+
+class TestMetrics:
+    def test_snr_and_lsd_sane(self):
+        from libllsm2_tpu.utils import metrics
+        x, _ = testsig.make_test_utterance(duration=0.3)
+        assert metrics.snr_db(x, x) > 100
+        assert metrics.log_spectral_distance_db(x, x) < 1e-3
+        noisy = x + 0.1 * np.random.default_rng(0).standard_normal(len(x))
+        assert 5 < metrics.snr_db(x, noisy) < 30
+        assert metrics.band_energy_error_db(x, x) < 0.01

@@ -92,3 +92,29 @@ def test_frame_sharded_analysis_matches_single_device():
     got = seqparallel.analyze_frame_sharded(opt, x, f0, m)
     np.testing.assert_allclose(np.asarray(got.ampl), np.asarray(ref.ampl),
                                atol=1e-4)
+
+
+def test_corpus_retries_transient_failures(monkeypatch):
+    opt = small_opt()
+    sopt = create_soptions()
+    sigs, f0s = [], []
+    for i in range(4):
+        x, f0 = testsig.make_test_utterance(duration=0.3, seed=i)
+        sigs.append(x)
+        f0s.append(f0)
+    calls = {"n": 0}
+    real = corpus.batched_pipeline
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient device error")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(corpus, "batched_pipeline", flaky)
+    results = list(corpus.run_corpus(opt, sopt, sigs, f0s,
+                                     bucket_frames=(64,), batch_size=4,
+                                     max_retries=1))
+    covered = sorted(i for r in results for i in r["indices"])
+    assert covered == list(range(4))
+    assert calls["n"] >= 2
