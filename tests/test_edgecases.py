@@ -76,3 +76,24 @@ def test_layer1_and_pbp_on_sparse_voicing():
     back = coder.decode(cc, coder.encode(cc, l1))
     out2 = layer0.synthesize(create_soptions(), back)
     assert np.all(np.isfinite(np.asarray(out2.y)))
+
+
+def test_48khz_pipeline():
+    """Non-16k sample rates: conf carries fs; whole pipeline must work."""
+    from libllsm2_tpu import ChunkConf, create_soptions
+    import dataclasses
+    fs, thop = 48000.0, 0.005
+    nfrm = 80
+    f0 = np.full(nfrm, 220.0)
+    x, _ = testsig.synth_harmonic(f0, fs=fs, thop=thop, nharmonics=40)
+    conf = ChunkConf(fs=fs, fnyq=12000.0, chanfreq=(3000.0, 6000.0, 9000.0),
+                     nspec=513)
+    opt = dataclasses.replace(create_aoptions(), conf=conf)
+    chunk = layer0.analyze(opt, x, f0)
+    out = layer0.synthesize(create_soptions(fs=fs), chunk)
+    y = np.asarray(out.y_sin)
+    assert np.all(np.isfinite(y))
+    lo, hi = int(0.1 * len(x)), int(0.9 * len(x))
+    e = x[lo:hi] - y[lo:hi]
+    snr = 10 * np.log10(np.sum(x[lo:hi] ** 2) / max(np.sum(e ** 2), 1e-20))
+    assert snr > 35.0, snr
