@@ -231,12 +231,38 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
     edges = conf.chan_edges
     env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
 
+    shaped_spec = spec * gain                                   # [N, nbin]
+    masks = jnp.stack([
+        ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
+        for c in range(conf.nchannel)])                         # [C, nbin]
+
+    # channel-pair trick: the per-channel spectra are band-disjoint, so two
+    # real inverse transforms share one complex ifft (c0 -> Re, c1 -> Im),
+    # halving the inverse-FFT count of the hot noise path
+    def _irfft_pair(s0, s1):
+        full0 = jnp.concatenate(
+            [s0, jnp.conj(s0[..., -2:0:-1])], axis=-1)
+        full1 = jnp.concatenate(
+            [s1, jnp.conj(s1[..., -2:0:-1])], axis=-1)
+        z = jnp.fft.ifft(full0 + 1j * full1, n=T)
+        return z.real, z.imag
+
     y = jnp.zeros(nx, jnp.float32)
-    for c in range(conf.nchannel):
-        m = ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
-        shaped = jnp.fft.irfft(spec * gain * m[None, :], n=T) * w[None, :]
-        band = harmonics.overlap_add_half(shaped, nhop, nx)
-        y = y + band * (env[c] / base[c])
+    c = 0
+    while c < conf.nchannel:
+        if c + 1 < conf.nchannel:
+            b0, b1 = _irfft_pair(shaped_spec * masks[c][None, :],
+                                 shaped_spec * masks[c + 1][None, :])
+            for ci, bi in ((c, b0), (c + 1, b1)):
+                band = harmonics.overlap_add_half(bi * w[None, :], nhop, nx)
+                y = y + band * (env[ci] / base[ci])
+            c += 2
+        else:
+            shaped = jnp.fft.irfft(shaped_spec * masks[c][None, :],
+                                   n=T) * w[None, :]
+            band = harmonics.overlap_add_half(shaped, nhop, nx)
+            y = y + band * (env[c] / base[c])
+            c += 1
     return y
 
 
