@@ -50,6 +50,16 @@ def czt(x: jnp.ndarray, m: int, f_step) -> jnp.ndarray:
     return conv * _chirp(jnp.arange(m), f_step)
 
 
+def iczt(X: jnp.ndarray, f_step) -> jnp.ndarray:
+    """Inverse chirp-Z transform for the full-circle case (reference:
+    ciglet.h -> iczt): x_n = (1/M) sum_k X_k exp(+2j pi f_step k n),
+    which inverts czt() exactly when M * f_step == 1 (uniform DFT-like
+    sampling; for partial-circle zooms the forward transform is not
+    square-invertible)."""
+    m = X.shape[-1]
+    return jnp.conj(czt(jnp.conj(X), m, f_step)) / m
+
+
 def qifft(logmag: jnp.ndarray, k: jnp.ndarray):
     """Quadratic interpolation of a spectral peak at integer bin k
     (reference: ciglet.h -> qifft).  Returns (refined_bin, refined_logmag).

@@ -139,3 +139,13 @@ class TestLF:
             ref = U[k]
             got = complex(np.asarray(lf.lf_spectrum(jnp.array(float(k)), p)))
             assert abs(got - ref) < 3e-3 * abs(ref) + 1e-6, (k, got, ref)
+
+
+class TestICZT:
+    def test_inverts_full_circle_czt(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(64).astype(np.float32)
+        X = spectral.czt(jnp.array(x), 64, 1.0 / 64)
+        back = np.asarray(spectral.iczt(X, 1.0 / 64))
+        np.testing.assert_allclose(back.real, x, atol=1e-3)
+        np.testing.assert_allclose(back.imag, 0.0, atol=1e-3)
