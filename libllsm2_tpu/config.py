@@ -89,7 +89,11 @@ class AnalysisOptions:
     llsm_create_aoptions defaults)."""
 
     conf: ChunkConf = ChunkConf()
-    hm_method: str = "czt"       # "czt" | "dft"  (reference: LLSM_AOPTION_HMCZT/HMPP)
+    hm_method: str = "czt"       # "czt" | "pp"  (reference: LLSM_AOPTION_HMCZT/HMPP)
+    hm_passes: int = 2           # Gauss-Seidel re-analysis passes of the
+                                 # residual (leakage cancellation; 1 = single
+                                 # pass like the reference, 2 adds ~7 dB
+                                 # round-trip SNR under F0 modulation)
     f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
     use_pallas: bool = False     # lower the harmonic projection to Pallas
     # envelope fitting window, in hops, for the noise temporal envelopes

@@ -136,8 +136,23 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas)
 
-    # --- residual: subtract the resynthesized harmonic part ---
+    # --- residual: subtract the resynthesized harmonic part; extra
+    # Gauss-Seidel passes re-analyze the residual and fold the correction
+    # back in, cancelling AM-sideband leakage between harmonics that a
+    # single windowed projection leaves behind (opt.hm_passes) ---
     with jax.named_scope("llsm.analyze.residual"):
+        for _pass in range(max(opt.hm_passes - 1, 0)):
+            segs = harmonics.oscillator_bank(
+                cyc, centers, ampl, phse, mask, nhop=nhop,
+                use_pallas=opt.use_pallas)
+            y_sin = harmonics.overlap_add_half(segs, nhop, nx)
+            da, dp, _ = harmonics.harmonic_analysis(
+                x - y_sin, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
+                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+            z = ampl * jnp.exp(1j * phse) + da * jnp.exp(1j * dp)
+            ampl = jnp.abs(z) * mask
+            phse = jnp.angle(z) * mask
         segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
                                          nhop=nhop, use_pallas=opt.use_pallas)
         y_sin = harmonics.overlap_add_half(segs, nhop, nx)

@@ -72,7 +72,9 @@ class TestRoundTrip:
         opt, chunk = analyzed
         out = layer0.synthesize(create_soptions(), chunk)
         s = snr_db(x, np.asarray(out.y_sin))
-        assert s >= 40.0, f"harmonic round-trip SNR {s:.1f} dB < 40 dB"
+        # north star is 40 dB; default config measures ~56 dB on the
+        # vibrato fixture (Gauss-Seidel leakage cancellation)
+        assert s >= 50.0, f"harmonic round-trip SNR {s:.1f} dB < 50 dB"
 
     def test_full_output_close(self, analyzed, fixture_harm):
         x, f0 = fixture_harm

@@ -55,7 +55,7 @@ class TestLayer1RoundTrip:
         back = layer1.chunk_to_layer0(layer1.chunk_to_layer1(chunk))
         out = layer0.synthesize(create_soptions(), back)
         s = snr_db(x, np.asarray(out.y_sin))
-        assert s >= 40.0, f"layer-1 round-trip SNR {s:.1f} dB"
+        assert s >= 50.0, f"layer-1 round-trip SNR {s:.1f} dB"
 
 
 class TestEdits:
