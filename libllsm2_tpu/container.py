@@ -55,6 +55,10 @@ class Chunk:
     rd: Optional[jnp.ndarray] = None
     vtmagn: Optional[jnp.ndarray] = None
     vsphse: Optional[jnp.ndarray] = None
+    # user-attached entries (reference: container.c -> llsm_container_attach:
+    # the C container holds arbitrary extra slots; here a string-keyed dict
+    # of arrays that travels through jit/vmap like any pytree leaf)
+    extras: Optional[dict] = None
     conf: ChunkConf = dataclasses.field(
         default=ChunkConf(), metadata=dict(static=True))
 
@@ -83,7 +87,25 @@ class Chunk:
             hm_mask=take(self.hm_mask), psd=take(self.psd), edc=take(self.edc),
             eenv_a=take(self.eenv_a), eenv_p=take(self.eenv_p),
             rd=take(self.rd), vtmagn=take(self.vtmagn),
-            vsphse=take(self.vsphse), conf=self.conf)
+            vsphse=take(self.vsphse),
+            extras=None if self.extras is None else
+            {k: take(v) for k, v in self.extras.items()},
+            conf=self.conf)
+
+    # -- generic attachment (reference: container.c ->
+    #    llsm_container_attach / _detach / _get) --------------------------
+    def attach(self, name: str, value) -> "Chunk":
+        extras = dict(self.extras or {})
+        extras[name] = value
+        return self.replace(extras=extras)
+
+    def detach(self, name: str) -> "Chunk":
+        extras = dict(self.extras or {})
+        extras.pop(name, None)
+        return self.replace(extras=extras or None)
+
+    def get(self, name: str, default=None):
+        return (self.extras or {}).get(name, default)
 
 
 def create_chunk(conf: ChunkConf, nfrm: int, batch_shape=()) -> Chunk:

@@ -29,6 +29,8 @@ def chunk_save(path: str, chunk: Chunk) -> None:
         v = getattr(chunk, name)
         if v is not None:
             arrays[name] = np.asarray(v)
+    for k, v in (chunk.extras or {}).items():
+        arrays["extra_" + k] = np.asarray(v)
     conf_json = json.dumps(dataclasses.asdict(chunk.conf))
     np.savez(path, __conf__=np.frombuffer(conf_json.encode(), np.uint8),
              **arrays)
@@ -43,7 +45,9 @@ def chunk_load(path: str) -> Chunk:
     kw = {}
     for name in _ARRAY_FIELDS:
         kw[name] = jnp.asarray(z[name]) if name in z.files else None
-    return Chunk(conf=conf, **kw)
+    extras = {n[len("extra_"):]: jnp.asarray(z[n]) for n in z.files
+              if n.startswith("extra_")}
+    return Chunk(conf=conf, extras=extras or None, **kw)
 
 
 def chunk_save_orbax(path: str, chunk: Chunk) -> None:

@@ -78,3 +78,16 @@ def test_phase_shift_advances_by_time():
     # harmonic 2 (slot 1) advances by pi
     np.testing.assert_allclose(np.abs(np.asarray(out.phse[:, 1])), np.pi,
                                atol=1e-5)
+
+
+def test_extras_attach_detach_and_jit():
+    conf = ChunkConf()
+    ch = create_chunk(conf, 8)
+    ch = ch.attach("marks", jnp.arange(8.0))
+    assert float(ch.get("marks")[3]) == 3.0
+    # extras travel through pytree transforms
+    ch2 = jax.tree.map(lambda a: a * 2, ch)
+    assert float(ch2.get("marks")[3]) == 6.0
+    ch3 = ch.detach("marks")
+    assert ch3.get("marks") is None
+    assert ch.get("missing", 42) == 42
