@@ -225,9 +225,7 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
     T = 2 * nhop
     nbin = T // 2 + 1
 
-    noise = jax.random.normal(key, (nx,), jnp.float32)
     centers = jnp.arange(N, dtype=jnp.int32) * nhop
-    frames = interp.fetch_frames(noise, centers, nhop)[:, :T]   # [N, T]
 
     # sqrt-Hann WOLA pair: perfect reconstruction at 50% overlap
     w = jnp.sqrt(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T))
@@ -242,7 +240,22 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
     gain = jnp.sqrt(jnp.maximum(
         jax.vmap(lambda p: interp.interp1_uniform(p, pos))(chunk.psd), 0.0))
 
-    spec = jnp.fft.rfft(frames * w[None, :], n=T)               # [N, nbin]
+    # sample each frame's windowed-noise spectrum DIRECTLY in the frequency
+    # domain (iid complex gaussian bins): one fewer FFT per frame and no
+    # noise-stream gather.  iid bins produce stationary (unwindowed)
+    # segments, so the output power after the w-weighted OLA is
+    # mean(w_synth^2 * sum-of-overlaps) = sum(w^2)/T of the per-bin
+    # variance; calibrating the variance to T (not sum(w^2)) makes the
+    # synthesized PSD match the analysis periodogram convention exactly
+    # (validated by TestRoundTrip.test_noise_psd_reproduced).
+    kr, ki = jax.random.split(key)
+    re = jax.random.normal(kr, (N, nbin), jnp.float32)
+    im = jax.random.normal(ki, (N, nbin), jnp.float32)
+    im = im.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    scale = jnp.full((nbin,), jnp.sqrt(T / 2.0))
+    scale = scale.at[0].set(jnp.sqrt(float(T))).at[-1].set(
+        jnp.sqrt(float(T)))
+    spec = (re + 1j * im) * scale[None, :]                      # [N, nbin]
     edges = conf.chan_edges
     env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
 
