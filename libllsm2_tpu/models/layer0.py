@@ -189,29 +189,40 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # ---------------------------------------------------------------------------
 
 def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
-    """Reconstruct per-channel temporal envelopes and their DC baseline from
-    edc + eenv harmonics via per-frame additive synthesis + OLA
-    (reference: layer0.c noise synthesis -- envelope reconstruction).
-    Returns (env [C, nx], base [C, nx])."""
-    conf = chunk.conf
+    """Reconstruct per-channel temporal envelopes and their DC baseline
+    from edc + eenv harmonics (reference: layer0.c noise synthesis --
+    envelope reconstruction).  Returns (env [C, nx], base [C, nx]).
+
+    Rendered directly per sample: envelope coefficients (a cos phi,
+    a sin phi, dc) are linearly interpolated between frame centers and
+    combined with the shared cycle track -- one fused elementwise op
+    instead of per-frame segment synthesis + overlap-add (the envelopes
+    are smooth, so parameter-domain interpolation is the natural form).
+    """
     N, C, Ke = chunk.eenv_a.shape
-    emask = jnp.broadcast_to((chunk.f0 > 0)[:, None], (N, Ke)).astype(jnp.float32)
+    voiced = (chunk.f0 > 0).astype(jnp.float32)
+    ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
+    ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
 
-    def chan(ea, ep, edc_c):
-        segs = harmonics.oscillator_bank(cyc, centers, ea, ep, emask,
-                                         nhop=nhop)
-        T = 2 * nhop
-        w_ola = 0.5 - 0.5 * jnp.cos(
-            2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
-        dc_segs = edc_c[:, None] * w_ola[None, :].astype(jnp.float32)
-        env = harmonics.overlap_add_half(segs + dc_segs, nhop, nx)
-        base = harmonics.overlap_add_half(
-            jnp.broadcast_to(dc_segs, (N, T)), nhop, nx)
-        return env, base
+    pos = jnp.arange(nx, dtype=jnp.float32) / nhop
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 2)
+    t = jnp.clip(pos - i0, 0.0, 1.0)
 
-    env, base = jax.vmap(chan, in_axes=(1, 1, 1))(
-        chunk.eenv_a, chunk.eenv_p, chunk.edc)
-    return jnp.maximum(env, 0.0), jnp.maximum(base, 1e-8)
+    def lerp(a):  # [N, ...] -> [nx, ...]
+        sh = (slice(None),) + (None,) * (a.ndim - 1)
+        return a[i0] * (1.0 - t)[sh] + a[i0 + 1] * t[sh]
+
+    edc_s = lerp(chunk.edc)                                  # [nx, C]
+    ar_s = lerp(ar)                                          # [nx, C, Ke]
+    ai_s = lerp(ai)
+    ke = jnp.arange(1, Ke + 1, dtype=jnp.float32)
+    ph = ke[None, :] * cyc[:, None]
+    ph = 2.0 * jnp.pi * (ph - jnp.round(ph))                 # [nx, Ke]
+    osc_c = jnp.cos(ph)[:, None, :]
+    osc_s = jnp.sin(ph)[:, None, :]
+    env = edc_s + jnp.sum(ar_s * osc_c - ai_s * osc_s, axis=-1)  # [nx, C]
+    return (jnp.maximum(env, 0.0).T,
+            jnp.maximum(edc_s, 1e-8).T)
 
 
 def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
