@@ -17,7 +17,7 @@ def stft(x: jnp.ndarray, nwin: int, nhop: int, nfft: int | None = None):
     half = nwin // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half + nwin)])
     idx = (jnp.arange(nfrm) * nhop)[:, None] + jnp.arange(nwin)[None, :]
-    frames = xp[..., :][..., idx]                  # [..., nfrm, nwin]
+    frames = xp[..., idx]                          # [..., nfrm, nwin]
     w = jnp.hanning(nwin).astype(x.dtype)
     return jnp.fft.rfft(frames * w, n=nfft)
 

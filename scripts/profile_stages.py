@@ -5,7 +5,6 @@ optimize.  Prints one JSON line.
   python scripts/profile_stages.py [batch=64] [duration=2.0] [pallas=1]
 """
 import dataclasses
-import functools
 import json
 import os
 import sys

@@ -3,7 +3,6 @@
   python scripts/profile_synth.py [batch=64] [duration=2.0]
 """
 import dataclasses
-import functools
 import json
 import os
 import sys
