@@ -81,7 +81,24 @@ def main(batch=64, duration=2.0, iters=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    def cyc_only(c):
+        nx = c.f0.shape[0] * nhop
+        return harmonics.sample_cycles(c.f0, nhop, conf.fs, nx)
+
+    def osc_only(c):
+        # oscillator bank with a trivial (precomputed-free) phase ramp:
+        # isolates the pallas kernel + OLA from the cycle scan
+        nx = c.f0.shape[0] * nhop
+        centers = jnp.arange(c.f0.shape[0], dtype=jnp.int32) * nhop
+        cyc = (jnp.arange(nx, dtype=jnp.float32) * (150.0 / conf.fs)) % 1.0
+        segs = harmonics.oscillator_bank(cyc, centers, c.ampl, c.phse,
+                                         c.hm_mask, nhop=nhop,
+                                         use_pallas=True)
+        return harmonics.overlap_add_half(segs, nhop, nx)
+
     res = {
+        "cyc_only_s": round(timeit(cyc_only), 4),
+        "osc_only_s": round(timeit(osc_only), 4),
         "harm_only_s": round(timeit(harm_only), 4),
         "env_only_s": round(timeit(env_only), 4),
         "noise_only_s": round(timeit(noise_only), 4),

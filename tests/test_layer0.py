@@ -129,3 +129,17 @@ def test_batched_api(fixture_harm):
     assert out.y.shape[0] == 2
     s = snr_db(x, np.asarray(out.y_sin[0]))
     assert s >= 40.0, s
+
+
+def test_noise_determinism(fixture_harm):
+    """Keyed PRNG: same seed -> bit-identical output; different seed ->
+    different noise realization (SURVEY.md section 4: golden tests are
+    possible, unlike the C rand())."""
+    x, f0 = fixture_harm
+    chunk = layer0.analyze(create_aoptions(), x, f0)
+    y1 = np.asarray(layer0.synthesize(create_soptions(), chunk).y)
+    y2 = np.asarray(layer0.synthesize(create_soptions(), chunk).y)
+    np.testing.assert_array_equal(y1, y2)
+    y3 = np.asarray(layer0.synthesize(
+        create_soptions(noise_seed=123), chunk).y)
+    assert not np.array_equal(y1, y3)
