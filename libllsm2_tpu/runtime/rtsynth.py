@@ -227,6 +227,18 @@ class RTSynthesizer:
             self.ring.add(pulses[p], i * nhop + onset_int[p])
 
     # -- public API (reference: llsm_rtsynth_buffer_feed/_fetch) ---------
+    def reset(self) -> None:
+        """Drop all buffered state (new utterance on the same compiled
+        renderer -- the compiled step functions are keyed by conf and
+        survive resets)."""
+        self.ring = OLARing(self.ring.capacity)
+        self._pending = None
+        self._prev_f0 = 0.0
+        self._i = 0
+        self._cycles = 0.0
+        self._pulse_cycles = 0.0
+        self._fed = 0
+
     def feed(self, frame) -> None:
         cur = self._frame_fields(frame)
         if self._pending is not None:

@@ -117,3 +117,25 @@ class TestStreamingPbP:
         lag = int(round(16000.0 / f0_mid))
         ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
         assert ac[lag - 3:lag + 4].max() > 0.3 * ac[0]
+
+
+def test_reset_allows_reuse():
+    x, f0 = testsig.make_test_utterance(duration=0.3)
+    chunk = layer0.analyze(create_aoptions(), x, f0)
+    sopt = create_soptions()
+    rt = rtsynth.RTSynthesizer(sopt, chunk.conf, capacity_frames=80)
+    for i in range(10):
+        rt.feed(chunk.frame(i))
+    rt.reset()
+    out = []
+    for i in range(chunk.nfrm):
+        rt.feed(chunk.frame(i))
+        got = rt.fetch(rt.readable())
+        if len(got):
+            out.append(got)
+    rt.flush()
+    got = rt.fetch(rt.readable())
+    if len(got):
+        out.append(got)
+    y = np.concatenate(out)
+    assert np.all(np.isfinite(y)) and np.std(y) > 0.0
