@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=128, duration=2.0, iters=3, pallas=1):
+def main(batch=128, duration=8.0, iters=3, pallas=1):
     import jax
     import jax.numpy as jnp
 
