@@ -1,1 +1,2 @@
-from . import audio, testsig  # noqa: F401
+from . import (audio, dataio, metrics, profiling, serialize,  # noqa: F401
+               testsig)

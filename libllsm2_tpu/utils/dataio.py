@@ -1,0 +1,92 @@
+"""Corpus data loading: native C++ WAV batch loader with Python fallback.
+
+The batched corpus path (BASELINE config 5) assembles padded
+[batch, bucket_samples] arrays; doing that per file in Python is host-
+bound, so the heavy lifting lives in native/llsm_loader.cpp (RIFF parse,
+PCM->float32, channel average, zero-padded row writes) bound via ctypes
+-- the rebuild's data-loader analog of the reference's per-file ciglet
+wavread.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_SO_PATH = os.path.join(_NATIVE_DIR, "libllsm_loader.so")
+
+_lib = None
+_lib_tried = False
+
+
+def _load():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_SO_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libllsm_loader.so"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.llsm_load_wav.restype = ctypes.c_int64
+        lib.llsm_load_wav.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+        lib.llsm_load_batch.restype = ctypes.c_int64
+        lib.llsm_load_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def load_wav_batch(paths: Sequence[str], bucket_samples: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load WAV files into a zero-padded [len(paths), bucket_samples]
+    float32 batch.  Returns (batch, lengths, sample_rates); rows that fail
+    to parse have length 0.  Uses the native loader when available, scipy
+    otherwise."""
+    B = len(paths)
+    out = np.zeros((B, bucket_samples), np.float32)
+    lengths = np.zeros((B,), np.int64)
+    rates = np.zeros((B,), np.int32)
+    lib = _load()
+    if lib is not None:
+        blob = b"".join(p.encode() + b"\0" for p in paths)
+        offsets = np.zeros((B,), np.int64)
+        off = 0
+        for i, p in enumerate(paths):
+            offsets[i] = off
+            off += len(p.encode()) + 1
+        lib.llsm_load_batch(
+            blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            B, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bucket_samples,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out, lengths, rates
+    from . import audio
+    for i, p in enumerate(paths):
+        try:
+            x, fs = audio.wavread(p)
+            n = min(len(x), bucket_samples)
+            out[i, :n] = x[:n]
+            lengths[i] = n
+            rates[i] = int(fs)
+        except Exception:
+            pass
+    return out, lengths, rates

@@ -1,0 +1,136 @@
+// Native corpus data loader for libllsm2_tpu.
+//
+// The reference reads audio one file at a time through ciglet's wavread
+// (ciglet.h); the rebuild's batched corpus path instead needs whole padded
+// batches assembled per bucket (SURVEY.md section 2, BASELINE config 5).
+// This module does the host-side heavy lifting in C++: parse RIFF/WAVE
+// (PCM16 / PCM32 / float32, mono or averaged multichannel), convert to
+// float32, and write each utterance into its row of a caller-provided
+// padded [batch, bucket_samples] buffer -- one C call per batch instead of
+// per-file Python I/O + numpy packing.
+//
+// C ABI + ctypes (no pybind11 in the image); see runtime/native.py.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct WavData {
+    std::vector<float> samples;   // mono
+    int32_t sample_rate = 0;
+};
+
+bool read_wav(const char* path, WavData* out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    auto rd_u32 = [&](uint32_t* v) {
+        return std::fread(v, 4, 1, f) == 1;
+    };
+    auto rd_u16 = [&](uint16_t* v) {
+        return std::fread(v, 2, 1, f) == 1;
+    };
+    uint32_t riff, size, wave;
+    if (!rd_u32(&riff) || !rd_u32(&size) || !rd_u32(&wave) ||
+        riff != 0x46464952u /*RIFF*/ || wave != 0x45564157u /*WAVE*/) {
+        std::fclose(f);
+        return false;
+    }
+    uint16_t fmt = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    bool got_fmt = false, ok = false;
+    while (true) {
+        uint32_t tag, chunk_size;
+        if (!rd_u32(&tag) || !rd_u32(&chunk_size)) break;
+        if (tag == 0x20746d66u /*"fmt "*/) {
+            uint32_t brate, balign_bits;
+            if (!rd_u16(&fmt) || !rd_u16(&channels) || !rd_u32(&rate) ||
+                !rd_u32(&brate) || !rd_u32(&balign_bits)) break;
+            bits = static_cast<uint16_t>(balign_bits >> 16);
+            if (chunk_size > 16 &&
+                std::fseek(f, chunk_size - 16, SEEK_CUR) != 0) break;
+            got_fmt = true;
+        } else if (tag == 0x61746164u /*"data"*/ && got_fmt) {
+            if (channels == 0) break;
+            std::vector<uint8_t> raw(chunk_size);
+            if (std::fread(raw.data(), 1, chunk_size, f) != chunk_size)
+                break;
+            size_t bytes_per = bits / 8;
+            size_t nframes = chunk_size / (bytes_per * channels);
+            out->samples.resize(nframes);
+            out->sample_rate = static_cast<int32_t>(rate);
+            for (size_t i = 0; i < nframes; ++i) {
+                double acc = 0.0;
+                for (size_t c = 0; c < channels; ++c) {
+                    const uint8_t* p = raw.data() +
+                        (i * channels + c) * bytes_per;
+                    double v = 0.0;
+                    if (fmt == 1 && bits == 16) {
+                        int16_t s;
+                        std::memcpy(&s, p, 2);
+                        v = s / 32768.0;
+                    } else if (fmt == 1 && bits == 32) {
+                        int32_t s;
+                        std::memcpy(&s, p, 4);
+                        v = s / 2147483648.0;
+                    } else if (fmt == 3 && bits == 32) {
+                        float s;
+                        std::memcpy(&s, p, 4);
+                        v = s;
+                    }
+                    acc += v;
+                }
+                out->samples[i] = static_cast<float>(acc / channels);
+            }
+            ok = true;
+            break;
+        } else {
+            if (std::fseek(f, (chunk_size + 1) & ~1u, SEEK_CUR) != 0) break;
+        }
+    }
+    std::fclose(f);
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load one WAV into `out` (capacity `max_samples`); returns the number of
+// samples written (truncated to capacity), 0 on parse failure.  The file's
+// sample rate is stored in *sample_rate.
+int64_t llsm_load_wav(const char* path, float* out, int64_t max_samples,
+                      int32_t* sample_rate) {
+    WavData w;
+    if (!read_wav(path, &w)) return 0;
+    int64_t n = static_cast<int64_t>(w.samples.size());
+    if (n > max_samples) n = max_samples;
+    std::memcpy(out, w.samples.data(), n * sizeof(float));
+    if (sample_rate) *sample_rate = w.sample_rate;
+    return n;
+}
+
+// Assemble a zero-padded batch: `paths` is `batch` NUL-terminated strings
+// concatenated (offsets in `path_offsets`); each file fills row i of
+// out[batch, bucket_samples].  lengths[i] receives the true sample count
+// (0 on failure).  Returns the number of successfully loaded rows.
+int64_t llsm_load_batch(const char* paths, const int64_t* path_offsets,
+                        int64_t batch, float* out, int64_t bucket_samples,
+                        int64_t* lengths, int32_t* sample_rates) {
+    int64_t ok = 0;
+    for (int64_t i = 0; i < batch; ++i) {
+        float* row = out + i * bucket_samples;
+        std::memset(row, 0, bucket_samples * sizeof(float));
+        int32_t sr = 0;
+        int64_t n = llsm_load_wav(paths + path_offsets[i], row,
+                                  bucket_samples, &sr);
+        lengths[i] = n;
+        if (sample_rates) sample_rates[i] = sr;
+        if (n > 0) ++ok;
+    }
+    return ok;
+}
+
+}  // extern "C"

@@ -139,3 +139,38 @@ def test_reset_allows_reuse():
         out.append(got)
     y = np.concatenate(out)
     assert np.all(np.isfinite(y)) and np.std(y) > 0.0
+
+
+class TestNativeLoader:
+    def test_native_loader_builds(self):
+        from libllsm2_tpu.utils import dataio
+        assert dataio.native_available(), "native loader failed to build"
+
+    def test_batch_load_matches_scipy(self, tmp_path):
+        from libllsm2_tpu.utils import audio, dataio
+        paths = []
+        refs = []
+        for i in range(3):
+            x, _ = testsig.make_test_utterance(duration=0.1 + 0.05 * i,
+                                               seed=i)
+            p = str(tmp_path / f"u{i}.wav")
+            audio.wavwrite(p, x, 16000.0)
+            paths.append(p)
+            refs.append(audio.wavread(p)[0])
+        batch, lengths, rates = dataio.load_wav_batch(paths, 4000)
+        assert batch.shape == (3, 4000)
+        for i, r in enumerate(refs):
+            n = min(len(r), 4000)
+            assert lengths[i] == n
+            assert rates[i] == 16000
+            np.testing.assert_allclose(batch[i, :n], r[:n], atol=2e-4)
+            np.testing.assert_array_equal(batch[i, n:], 0.0)
+
+    def test_bad_file_row_is_zero(self, tmp_path):
+        from libllsm2_tpu.utils import dataio
+        bad = str(tmp_path / "bad.wav")
+        with open(bad, "wb") as f:
+            f.write(b"not a wav at all")
+        batch, lengths, rates = dataio.load_wav_batch([bad], 100)
+        assert lengths[0] == 0
+        np.testing.assert_array_equal(batch[0], 0.0)
