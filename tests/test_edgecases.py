@@ -97,3 +97,16 @@ def test_48khz_pipeline():
     e = x[lo:hi] - y[lo:hi]
     snr = 10 * np.log10(np.sum(x[lo:hi] ** 2) / max(np.sum(e ** 2), 1e-20))
     assert snr > 35.0, snr
+
+
+def test_long_utterance_30s():
+    """Memory/shape sanity for long inputs (frame axis ~6000)."""
+    x, f0 = testsig.make_test_utterance(duration=30.0)
+    chunk, y = _pipeline(x, f0)
+    assert np.all(np.isfinite(y))
+    assert len(y) == len(x)
+    # phase stays coherent to the end: SNR on the last 2 seconds
+    lo = len(x) - 32000
+    e = x[lo:-800] - y[lo:-800]
+    snr = 10 * np.log10(np.sum(x[lo:-800] ** 2) / max(np.sum(e ** 2), 1e-20))
+    assert snr > 30.0, snr
