@@ -10,8 +10,8 @@ sections 3.1/3.2).  The reference's per-frame sequential C loop becomes:
              band envelopes, and a batched warped periodogram -- all under
              one jit.
   synthesis: a batched oscillator bank + reshape-only overlap-add for the
-             harmonic part, and a WOLA noise shaper (PRNG white noise ->
-             per-frame sqrt-Hann segments -> sqrt(PSD) filter -> band
+             harmonic part, and a WOLA noise shaper (keyed-PRNG per-frame
+             noise spectra -> sqrt(PSD) filter -> band split -> temporal
              envelope modulation) for the noise part.
 
 Everything is shape-static: the only data-dependent quantities (window

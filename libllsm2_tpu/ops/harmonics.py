@@ -121,8 +121,12 @@ def harmonic_analysis(
         xw = frames * w
         ph = _phase_cycles(kharm[None, :, None], c_dc[:, None, :])  # [C,K,W]
         arg = (2.0 * jnp.pi) * ph
-        re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), xw)
-        im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), xw)
+        # HIGHEST: TPU matmuls default to bf16 inputs, which would cap
+        # amplitude/phase accuracy on the non-Pallas path
+        re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), xw,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), xw,
+                        precision=jax.lax.Precision.HIGHEST)
         wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)        # [C]
         ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
         phse = jnp.arctan2(im, re)
@@ -249,7 +253,8 @@ def oscillator_bank(
         ph = _phase_cycles(kharm[None, :, None], c_dc[:, None, :])  # [C,K,T]
         arg = (2.0 * jnp.pi) * ph + c_p[:, :, None]
         osc = jnp.cos(arg)                                    # [C,K,T]
-        seg = jnp.einsum("ckt,ck->ct", osc, c_a * c_m)
+        seg = jnp.einsum("ckt,ck->ct", osc, c_a * c_m,
+                         precision=jax.lax.Precision.HIGHEST)
         return seg * w_ola[None, :]
 
     pad = (-N) % chunk
@@ -349,8 +354,10 @@ def harmonic_peak_pick(
         ph = _phase_cycles(n_off[None, None, :],
                            (c_f / fs)[:, :, None])           # [C,K,W]
         arg = (2.0 * jnp.pi) * ph
-        re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), c_xw)
-        im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), c_xw)
+        re = jnp.einsum("ckw,cw->ck", jnp.cos(arg), c_xw,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("ckw,cw->ck", -jnp.sin(arg), c_xw,
+                        precision=jax.lax.Precision.HIGHEST)
         return re, im
 
     N = centers.shape[0]
