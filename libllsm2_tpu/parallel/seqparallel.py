@@ -21,19 +21,6 @@ from ..models import layer0
 from .mesh import FRAME_AXIS
 
 
-def chunk_frame_sharding(mesh, conf):
-    """NamedShardings for a single-utterance chunk with the frame axis
-    split over the mesh's frame axis."""
-    fr = NamedSharding(mesh, P(FRAME_AXIS))
-
-    def spec(a):
-        if a is None:
-            return None
-        return fr if a.ndim >= 1 else NamedSharding(mesh, P())
-
-    return spec
-
-
 def analyze_frame_sharded(opt: AnalysisOptions, x, f0, mesh) -> Chunk:
     """Single-utterance analysis with the sample/frame axes sharded over
     the mesh's frame axis.  XLA partitions the batched contractions
