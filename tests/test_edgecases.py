@@ -3,6 +3,7 @@ very short utterances -- the masked-lane NaN traps called out in
 SURVEY.md section 7 "Hard parts"."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from libllsm2_tpu import create_aoptions, create_soptions
 from libllsm2_tpu.models import coder, layer0, layer1, pbp
@@ -110,3 +111,30 @@ def test_long_utterance_30s():
     e = x[lo:-800] - y[lo:-800]
     snr = 10 * np.log10(np.sum(x[lo:-800] ** 2) / max(np.sum(e ** 2), 1e-20))
     assert snr > 30.0, snr
+
+
+@pytest.mark.parametrize("kw", [
+    dict(nchannel=2, chanfreq=(3000.0,)),
+    dict(nchannel=6, chanfreq=(1000.0, 2000.0, 3000.0, 4500.0, 6000.0)),
+    dict(maxnhar=24, fnyq=4000.0),
+    dict(npsd=32, nspec=129),
+    dict(maxnhar_e=2),
+    dict(thop=0.01),
+    dict(rel_winsize=3.0, f0_floor=60.0),
+])
+def test_conf_sweep(kw):
+    """Arbitrary conf combinations must compile and round-trip finitely."""
+    import dataclasses
+    from libllsm2_tpu import ChunkConf, create_soptions
+    conf = ChunkConf(**kw)
+    conf.validate()
+    opt = dataclasses.replace(create_aoptions(), conf=conf)
+    nhop = conf.nhop
+    nfrm = int(0.4 / conf.thop)
+    f0 = np.full(nfrm, 150.0)
+    x, _ = testsig.synth_harmonic(f0, thop=conf.thop, noise_level=0.05)
+    chunk = layer0.analyze(opt, x, f0)
+    out = layer0.synthesize(create_soptions(), chunk)
+    y = np.asarray(out.y)
+    assert np.all(np.isfinite(y))
+    assert np.std(y) > 0.05 * np.std(x)
