@@ -170,7 +170,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             ea, ep, _ = harmonics.harmonic_analysis(
                 env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq)
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
             return edc, ea, ep
 
         edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)      # [C,N], [C,N,Ke]
