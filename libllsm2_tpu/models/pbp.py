@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import SynthesisOptions
 from ..container import Chunk
-from ..ops import harmonics, interp, lf, spectral
+from ..ops import harmonics, lf, spectral
 from . import layer1
 from .layer0 import SynthResult, _synth_noise
 
