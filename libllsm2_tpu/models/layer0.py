@@ -115,7 +115,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     if opt.f0_refine:
         f0 = harmonics.refine_f0(
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
-            rel_winsize=conf.rel_winsize)
+            rel_winsize=conf.rel_winsize, use_pallas=opt.use_pallas)
 
     # sample-level fundamental cycle track: shared chirped basis for
     # analysis and synthesis (see ops.harmonics.sample_cycles)

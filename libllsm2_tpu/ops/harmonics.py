@@ -167,6 +167,7 @@ def refine_f0(
     window: str = "hanning",
     iters: int = 2,
     max_rel_dev: float = 0.05,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Refine F0 by the fundamental's phase slope (phase-vocoder style).
 
@@ -191,6 +192,13 @@ def refine_f0(
         frames = xp[idx]
         w = window_centered(window, n_off[None, :], halfwidth[:, None])
         xw = frames * w
+        if use_pallas:
+            # the constant-f0 fundamental basis is a linear cycle ramp, so
+            # the chirped projection kernel applies directly with K=1
+            from .pallas_osc import harmonic_project_pallas
+            dc = _phase_cycles(n_off[None, :], (f0s / fs)[:, None])
+            re, im = harmonic_project_pallas(dc, xw, 1)
+            return jnp.arctan2(im[:, 0], re[:, 0])
         ph = _phase_cycles(n_off[None, :], (f0s / fs)[:, None])
         arg = (2.0 * jnp.pi) * ph
         re = jnp.sum(jnp.cos(arg) * xw, axis=-1)
