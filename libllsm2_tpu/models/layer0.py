@@ -113,9 +113,12 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
 
     if opt.f0_refine:
+        # note: refine stays on the jnp path even under use_pallas -- the
+        # K=1 projection is elementwise-reduction shaped and measured
+        # FASTER through XLA fusion than through the K-padded kernel
         f0 = harmonics.refine_f0(
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
-            rel_winsize=conf.rel_winsize, use_pallas=opt.use_pallas)
+            rel_winsize=conf.rel_winsize)
 
     # sample-level fundamental cycle track: shared chirped basis for
     # analysis and synthesis (see ops.harmonics.sample_cycles)
