@@ -60,7 +60,8 @@ class TestPbP:
         for lo, hi in [(200, 1000), (1000, 2000), (2000, 4000)]:
             b = (f >= lo) & (f < hi)
             r = 10 * np.log10(sy[b].sum() / sx[b].sum())
-            assert abs(r) < 6.0, (lo, hi, r)
+            # measured fidelity is within +/-0.2 dB; allow margin
+            assert abs(r) < 1.5, (lo, hi, r)
 
     def test_rd_edit_changes_spectrum(self, l1chunk):
         """PbP with a breathier Rd must tilt energy away from highs
