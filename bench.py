@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=128, duration=8.0, iters=3, pallas=1):
+def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +37,8 @@ def main(batch=128, duration=8.0, iters=3, pallas=1):
 
     conf = ChunkConf(f0_floor=70.0)   # window budget sized for speech F0s
     opt = dataclasses.replace(create_aoptions(), conf=conf,
-                              use_pallas=bool(pallas))
+                              use_pallas=bool(pallas),
+                              frame_chunk=int(fchunk))
     sopt = dataclasses.replace(create_soptions(), use_pallas=bool(pallas))
 
     xs, f0s = [], []

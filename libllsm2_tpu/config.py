@@ -96,6 +96,9 @@ class AnalysisOptions:
                                  # round-trip SNR under F0 modulation)
     f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
     use_pallas: bool = False     # lower the harmonic projection to Pallas
+    frame_chunk: int = 0         # >0: chunk the projection over frames
+                                 # (bounds peak HBM; needed for very large
+                                 # batch x duration products)
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
 

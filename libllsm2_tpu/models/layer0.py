@@ -137,7 +137,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             ampl, phse, mask = harmonics.harmonic_analysis(
                 x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas,
+                frame_chunk=opt.frame_chunk)
 
     # --- residual: subtract the resynthesized harmonic part; extra
     # Gauss-Seidel passes re-analyze the residual and fold the correction
@@ -152,7 +153,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             da, dp, _ = harmonics.harmonic_analysis(
                 x - y_sin, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas,
+                frame_chunk=opt.frame_chunk)
             z = ampl * jnp.exp(1j * phse) + da * jnp.exp(1j * dp)
             ampl = jnp.abs(z) * mask
             phse = jnp.angle(z) * mask
@@ -173,7 +175,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             ea, ep, _ = harmonics.harmonic_analysis(
                 env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq, use_pallas=opt.use_pallas)
+                fnyq=conf.fnyq, use_pallas=opt.use_pallas,
+                frame_chunk=opt.frame_chunk)
             return edc, ea, ep
 
         edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)      # [C,N], [C,N,Ke]

@@ -81,8 +81,14 @@ def harmonic_analysis(
     window: str = "hanning",
     chunk: int = 32,
     use_pallas: bool = False,
+    frame_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Estimate harmonic amplitudes/phases for every frame.
+
+    frame_chunk > 0 (Pallas path only) processes frames in chunks of that
+    size under lax.map, bounding the [frames, winlen] gather buffers --
+    trades a little dispatch overhead for peak-HBM headroom so larger
+    batches fit (the peak lives in these buffers at production sizes).
 
     Uses the chirped basis e^{-2j pi (k+1)(cyc[n]-cyc[center])} built from
     the sample-level cycle track (sample_cycles), so harmonics stay
@@ -133,7 +139,30 @@ def harmonic_analysis(
         return ampl, phse
 
     N = centers.shape[0]
-    if use_pallas:
+    if use_pallas and frame_chunk > 0:
+        from .pallas_osc import harmonic_project_pallas
+        FC = frame_chunk
+        cycp = jnp.pad(cyc, (H, H + 1), mode="edge")
+
+        def pchunk(args):
+            c_centers, c_hw = args
+            idx = c_centers[:, None] + jnp.arange(W)[None, :]
+            frames = xp[idx]
+            w = window_centered(window, n_off[None, :], c_hw[:, None])
+            dc = cycp[idx] - jnp.take(cyc, jnp.clip(c_centers, 0, cyc.shape[0] - 1))[:, None]
+            re, im = harmonic_project_pallas(dc, frames * w, max_k)
+            wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+            a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+            return a, jnp.arctan2(im, re)
+
+        pad = (-N) % FC
+        cs = jnp.pad(centers, (0, pad)).reshape(-1, FC)
+        hw = jnp.pad(halfwidth, (0, pad),
+                     constant_values=2.0).reshape(-1, FC)
+        ampl, phse = jax.lax.map(pchunk, (cs, hw))
+        ampl = ampl.reshape(-1, max_k)[:N]
+        phse = phse.reshape(-1, max_k)[:N]
+    elif use_pallas:
         from .pallas_osc import harmonic_project_pallas
         idx = centers[:, None] + jnp.arange(W)[None, :]
         frames = xp[idx]
