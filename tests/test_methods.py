@@ -92,3 +92,31 @@ def test_synthesis_at_different_fs():
         f0_mid = float(chunk.f0[chunk.nfrm // 2])
         ratio_h = fpk_hz / f0_mid
         assert abs(ratio_h - round(ratio_h)) < 0.25, (fpk_hz, f0_mid)
+
+
+def test_synthesis_is_differentiable():
+    """Gradients flow through synthesis w.r.t. chunk parameters (jnp path)
+    -- enables analysis-by-synthesis / neural-vocoder training losses
+    through the renderer."""
+    import jax
+    x, f0 = testsig.make_test_utterance(duration=0.2)
+    chunk = layer0.analyze(create_aoptions(), x, f0)
+    sopt = create_soptions()
+    target = jnp.asarray(x, jnp.float32)
+
+    def loss(ampl):
+        out = layer0._synthesize_jit(sopt, chunk.replace(ampl=ampl))
+        n = min(target.shape[0], out.y_sin.shape[0])
+        return jnp.mean((out.y_sin[:n] - target[:n]) ** 2)
+
+    # start away from the optimum so descent is observable
+    a0 = chunk.ampl * 0.5
+    g = jax.grad(loss)(a0)
+    assert g.shape == chunk.ampl.shape
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0.0
+    l0 = float(loss(a0))
+    # small normalized gradient step reduces the loss
+    step = 0.1 * float(jnp.abs(a0).max()) / float(jnp.abs(g).max())
+    l1 = float(loss(a0 - step * g))
+    assert l1 < l0, (l0, l1)
