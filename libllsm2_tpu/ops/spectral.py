@@ -75,6 +75,20 @@ def qifft(logmag: jnp.ndarray, k: jnp.ndarray):
     return k + p, b - 0.25 * (a - c) * p
 
 
+def spec_to_cepstrum(logmag: jnp.ndarray) -> jnp.ndarray:
+    """Real cepstrum from a log-magnitude half-spectrum (nfft//2+1 bins)
+    (reference: ciglet.h -> spec2cepstrum)."""
+    nspec = logmag.shape[-1]
+    return jnp.fft.irfft(logmag, n=2 * (nspec - 1))
+
+
+def cepstrum_to_spec(ceps: jnp.ndarray) -> jnp.ndarray:
+    """Log-magnitude half-spectrum from a real cepstrum (reference:
+    ciglet.h -> cepstrum2spec).  Truncate/lifter the cepstrum before
+    calling to smooth the envelope."""
+    return jnp.fft.rfft(ceps).real
+
+
 def minphase_phase(logmag: jnp.ndarray) -> jnp.ndarray:
     """Minimum-phase response from a log-magnitude half-spectrum.
 

@@ -131,3 +131,26 @@ class TestMetrics:
         noisy = x + 0.1 * np.random.default_rng(0).standard_normal(len(x))
         assert 5 < metrics.snr_db(x, noisy) < 30
         assert metrics.band_energy_error_db(x, x) < 0.01
+
+
+class TestCepstrumAndPlotting:
+    def test_cepstrum_roundtrip(self):
+        from libllsm2_tpu.ops import spectral
+        rng = np.random.default_rng(7)
+        logmag = jnp.asarray(rng.standard_normal(129), jnp.float32)
+        back = spectral.cepstrum_to_spec(spectral.spec_to_cepstrum(logmag))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(logmag),
+                                   atol=1e-4)
+
+    def test_plot_chunk_writes_file(self, tmp_path):
+        from libllsm2_tpu import create_aoptions
+        from libllsm2_tpu.models import layer0
+        from libllsm2_tpu.utils import plotting
+        x, f0 = testsig.make_test_utterance(duration=0.2)
+        chunk = layer0.analyze(create_aoptions(), x, f0)
+        p = str(tmp_path / "chunk.png")
+        plotting.plot_chunk(chunk, p)
+        assert os.path.getsize(p) > 1000
+        p2 = str(tmp_path / "spec.png")
+        plotting.plot_spectra(p2, 16000.0, input=x)
+        assert os.path.getsize(p2) > 1000
