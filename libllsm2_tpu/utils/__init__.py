@@ -1,2 +1,2 @@
-from . import (audio, dataio, metrics, profiling, serialize,  # noqa: F401
-               testsig)
+from . import (audio, dataio, metrics, plotting,  # noqa: F401
+               profiling, serialize, testsig)
