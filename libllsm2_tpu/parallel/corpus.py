@@ -22,6 +22,21 @@ from ..models import layer0
 from . import mesh as meshlib
 
 
+def is_transient_error(e: BaseException) -> bool:
+    """True for failures worth retrying: device/runtime-layer errors
+    (preemption, tunnel drops, transfer failures), not Python bugs.
+
+    jax surfaces device failures as XlaRuntimeError (a subclass of
+    jaxlib's JaxRuntimeError) or OSError-level transport failures;
+    deterministic problems (shape errors, NaN asserts, TypeError) must
+    propagate immediately so the first traceback is never lost.
+    """
+    import jax.errors
+
+    return isinstance(e, (jax.errors.JaxRuntimeError, ConnectionError,
+                          TimeoutError, BrokenPipeError))
+
+
 def _pipeline(opt: AnalysisOptions, sopt: SynthesisOptions, x, f0, nx_valid):
     """analyze -> synthesize -> masked SNR metrics for ONE utterance."""
     chunk = layer0._analyze_jit(opt, x, f0)
@@ -112,8 +127,11 @@ def run_corpus(opt: AnalysisOptions, sopt: SynthesisOptions,
                     y, snr, mean_snr = batched_pipeline(opt, sopt, xj, f0j,
                                                         nxj)
                     break
-                except Exception:
-                    if attempt == max_retries:
+                except Exception as e:
+                    # only transient device/tunnel failures are retried;
+                    # deterministic bugs propagate with their original
+                    # traceback (VERDICT r1 weak #4)
+                    if attempt == max_retries or not is_transient_error(e):
                         raise
             done.add(key)
             # note: snr is synced to host per batch; on this image's

@@ -1,0 +1,187 @@
+"""True per-component TPU timings, immune to the relay dispatch floor.
+
+The axon relay imposes a ~225 ms floor per dispatch, so sub-second
+programs cannot be timed individually (round-1 stage splits were
+confounded by this).  Trick: repeat each component R times inside ONE
+jitted lax.scan (inputs perturbed per step so XLA cannot CSE), time the
+single dispatch, subtract the measured floor, divide by R.
+
+  python scripts/profile_true.py [batch=32] [duration=8.0] [repeats=4]
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
+    import jax
+    import jax.numpy as jnp
+
+    if cpu:
+        # sitecustomize's axon.register overrides JAX_PLATFORMS; this wins
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
+    from libllsm2_tpu.models import layer0
+    from libllsm2_tpu.ops import harmonics
+    from libllsm2_tpu.parallel import corpus
+    from libllsm2_tpu.utils import testsig
+
+    conf = ChunkConf(f0_floor=70.0)
+    opt = dataclasses.replace(create_aoptions(), conf=conf, use_pallas=True)
+    sopt = dataclasses.replace(create_soptions(), use_pallas=True)
+    nhop = conf.nhop
+    R = int(repeats)
+
+    xs, f0s = [], []
+    for i in range(batch):
+        x, f0 = testsig.make_test_utterance(duration=duration, seed=i,
+                                            noise_level=0.05)
+        xs.append(x)
+        f0s.append(f0)
+    x = jnp.asarray(np.stack(xs), jnp.float32)
+    f0 = jnp.asarray(np.stack(f0s), jnp.float32)
+    nxv = jnp.full((batch,), x.shape[1], jnp.int32)
+
+    analyze_b = jax.jit(jax.vmap(lambda a, b: layer0._analyze_jit(opt, a, b)))
+    chunks = analyze_b(x, f0)
+    chunks = jax.tree.map(lambda a: a.block_until_ready(), chunks)
+
+    results = {}
+
+    def sync(v):
+        return float(np.asarray(v).ravel()[0])
+
+    def timed(name, fn):
+        """fn: (eps scalar) -> scalar; scanned R times in one dispatch."""
+        def body(c, i):
+            return c + fn(jnp.float32(1e-7) * (i + 1)), None
+
+        f = jax.jit(lambda: jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(R, dtype=jnp.int32))[0])
+        t0 = time.perf_counter()
+        sync(f())
+        results[name + "_compile_s"] = round(time.perf_counter() - t0, 1)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(f())
+            ts.append(time.perf_counter() - t0)
+        results[name + "_wall_s"] = round(min(ts), 4)
+        print(json.dumps({name: results[name + "_wall_s"],
+                          "compile_s": results[name + "_compile_s"]}),
+              flush=True)
+
+    # dispatch floor: trivial program
+    timed("floor", lambda eps: eps * 2.0)
+
+    nfrm = f0.shape[1]
+    nx = nfrm * nhop
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+
+    def pipe(eps):
+        y, snr, mean_snr = corpus.batched_pipeline.__wrapped__(
+            opt, sopt, x + eps, f0, nxv)
+        return mean_snr
+
+    def ana(eps):
+        c = jax.vmap(lambda a, b: layer0._analyze_jit.__wrapped__(opt, a, b))(
+            x + eps, f0)
+        return jnp.sum(c.ampl[:, 0, 0])
+
+    def syn(eps):
+        c = dataclasses.replace(chunks, ampl=chunks.ampl + eps)
+        out = jax.vmap(lambda cc: layer0._synthesize_jit.__wrapped__(sopt, cc))(c)
+        return jnp.sum(out.y[:, 0])
+
+    def cyc_fn(eps):
+        c = jax.vmap(lambda ff: harmonics.sample_cycles(ff, nhop, conf.fs, nx))(
+            f0 + eps)
+        return jnp.sum(c[:, -1])
+
+    def osc(eps):
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            segs = harmonics.oscillator_bank(cy, centers, cc.ampl, cc.phse,
+                                             cc.hm_mask, nhop=nhop,
+                                             use_pallas=True)
+            return harmonics.overlap_add_half(segs, nhop, nx)
+        c = dataclasses.replace(chunks, ampl=chunks.ampl + eps)
+        return jnp.sum(jax.vmap(one)(c)[:, 0])
+
+    def noise(eps):
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            return layer0._synth_noise(cc, cy, nx, jax.random.PRNGKey(1),
+                                       conf.fs, nhop)
+        c = dataclasses.replace(chunks, psd=chunks.psd + eps)
+        return jnp.sum(jax.vmap(one)(c)[:, 0])
+
+    def env(eps):
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            e, b = layer0._render_envelopes(cc, cy, centers, nx, nhop)
+            return e
+        c = dataclasses.replace(chunks, edc=chunks.edc + eps)
+        return jnp.sum(jax.vmap(one)(c)[:, 0, 0])
+
+    def proj(eps):
+        def one(xx, ff):
+            cy = harmonics.sample_cycles(ff, nhop, conf.fs, nx)
+            a, p, m = harmonics.harmonic_analysis(
+                xx, ff, centers, cy, fs=conf.fs, max_k=conf.maxnhar,
+                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+                fnyq=conf.fnyq, use_pallas=True)
+            return a[0, 0]
+        return jnp.sum(jax.vmap(one)(x + eps, f0))
+
+    def refine(eps):
+        def one(xx, ff):
+            return harmonics.refine_f0(
+                xx, ff, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
+                rel_winsize=conf.rel_winsize)[0]
+        return jnp.sum(jax.vmap(one)(x + eps, f0))
+
+    for name, fn in [("pipeline", pipe), ("analysis", ana),
+                     ("synthesis", syn), ("proj1", proj),
+                     ("refine", refine), ("cyc", cyc_fn), ("osc", osc),
+                     ("noise", noise), ("env", env)]:
+        try:
+            timed(name, fn)
+        except Exception as e:  # OOM etc -- keep going
+            results[name + "_error"] = repr(e)[:200]
+            print(json.dumps({name + "_error": repr(e)[:200]}), flush=True)
+
+    floor = results.get("floor_wall_s", 0.0)
+    audio = batch * duration
+    summary = {"batch": batch, "duration": duration, "repeats": R,
+               "floor_s": floor}
+    for name in ["pipeline", "analysis", "synthesis", "proj1", "refine",
+                 "cyc", "osc", "noise", "env"]:
+        w = results.get(name + "_wall_s")
+        if w is None:
+            continue
+        per = max(w - floor, 1e-9) / R
+        summary[name + "_s"] = round(per, 4)
+        summary[name + "_x_rt"] = round(audio / per, 1)
+    print("SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = float(v) if "." in v else int(v)
+    main(**kw)

@@ -108,7 +108,9 @@ def test_corpus_retries_transient_failures(monkeypatch):
     def flaky(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("transient device error")
+            # the device-layer error type run_corpus treats as transient
+            import jax.errors
+            raise jax.errors.JaxRuntimeError("transient device error")
         return real(*a, **kw)
 
     monkeypatch.setattr(corpus, "batched_pipeline", flaky)
@@ -118,3 +120,28 @@ def test_corpus_retries_transient_failures(monkeypatch):
     covered = sorted(i for r in results for i in r["indices"])
     assert covered == list(range(4))
     assert calls["n"] >= 2
+
+
+def test_corpus_does_not_retry_deterministic_errors(monkeypatch):
+    """A Python-level bug must propagate immediately with its original
+    traceback -- only device/tunnel errors are retried (VERDICT r1 #4)."""
+    import pytest
+
+    opt = small_opt()
+    sopt = create_soptions()
+    sigs, f0s = [], []
+    for i in range(2):
+        x, f0 = testsig.make_test_utterance(duration=0.3, seed=i)
+        sigs.append(x)
+        f0s.append(f0)
+    calls = {"n": 0}
+
+    def buggy(*a, **kw):
+        calls["n"] += 1
+        raise ValueError("deterministic shape bug")
+
+    monkeypatch.setattr(corpus, "batched_pipeline", buggy)
+    with pytest.raises(ValueError):
+        list(corpus.run_corpus(opt, sopt, sigs, f0s, bucket_frames=(64,),
+                               batch_size=2, max_retries=3))
+    assert calls["n"] == 1
