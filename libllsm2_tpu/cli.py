@@ -19,16 +19,24 @@ import numpy as np
 
 
 def _analyze_file(path: str, args):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from . import create_aoptions
     from .models import layer0
-    from .ops import f0 as f0mod
+    from .ops import f0 as f0mod, resample
     from .utils import audio
 
     x, fs = audio.wavread(path)
     opt = create_aoptions(fs=fs)
-    cfg = f0mod.F0Config(fs=fs, nhop=opt.conf.nhop)
+    if opt.fs_input:
+        # non-integral hop at the file's rate (e.g. 44.1 kHz @ 5 ms):
+        # resample once here so F0 tracking and analysis share the
+        # internal-rate signal (ciglet.h -> rresample)
+        x = np.asarray(resample.resample_to(x, fs, opt.conf.fs))
+        opt = dataclasses.replace(opt, fs_input=0.0)
+    cfg = f0mod.F0Config(fs=opt.conf.fs, nhop=opt.conf.nhop)
     f0 = np.asarray(f0mod.track(cfg, jnp.asarray(x, jnp.float32)))
     chunk = layer0.analyze(opt, x, f0)
     return x, fs, chunk

@@ -89,6 +89,11 @@ class AnalysisOptions:
     llsm_create_aoptions defaults)."""
 
     conf: ChunkConf = ChunkConf()
+    fs_input: float = 0.0        # input-signal rate if != conf.fs (0 = conf.fs).
+                                 # Set automatically by create_aoptions for
+                                 # rates with a non-integral hop (e.g. 44100 @
+                                 # thop=5ms): analysis resamples the input to
+                                 # conf.fs (ciglet.h -> sincresample/rresample)
     hm_method: str = "czt"       # "czt" | "pp"  (reference: LLSM_AOPTION_HMCZT/HMPP)
     hm_passes: int = 2           # Gauss-Seidel re-analysis passes of the
                                  # residual (leakage cancellation; 1 = single
@@ -117,13 +122,27 @@ class SynthesisOptions:
 
 
 def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:
-    """Reference-parity constructor (llsm_create_aoptions)."""
+    """Reference-parity constructor (llsm_create_aoptions).
+
+    Any input rate is accepted: when thop*fs is not an integral number of
+    samples (e.g. 44100 Hz at the 5 ms default hop), the internal analysis
+    rate becomes the nearest rate with an integral hop and the analysis
+    entry points resample the input transparently (fs_input records the
+    original rate).  fnyq defaults scale with the internal rate.
+    """
     conf_fields = {f.name for f in dataclasses.fields(ChunkConf)}
     conf_kw = {k: v for k, v in kw.items() if k in conf_fields}
     opt_kw = {k: v for k, v in kw.items() if k not in conf_fields}
+    thop = conf_kw.get("thop", ChunkConf.thop)
+    fs_input = 0.0
+    if abs(thop * fs - round(thop * fs)) > 1e-6:
+        fs_internal = max(round(thop * fs), 1) / thop
+        fs_input, fs = fs, fs_internal
+    if "fnyq" not in conf_kw and fs != 16000.0:
+        conf_kw["fnyq"] = fs / 2.0
     conf = ChunkConf(fs=fs, **conf_kw)
     conf.validate()
-    return AnalysisOptions(conf=conf, **opt_kw)
+    return AnalysisOptions(conf=conf, fs_input=fs_input, **opt_kw)
 
 
 def create_soptions(fs: float = 16000.0, **kw) -> SynthesisOptions:

@@ -81,9 +81,11 @@ def encode(coder: CoderConfig, chunk: Chunk) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
-    """[nfrm, dims] vectors -> layer-1 chunk ready for chunk_to_layer0 /
-    PbP synthesis (reference: coder.c -> llsm_coder_decode)."""
+def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
+    """[nfrm, dims] vectors -> layer-1 chunk (rd / vtmagn / noise model
+    populated, harmonics left empty) -- for parameter-domain editing or
+    pulse-by-pulse synthesis (reference: coder.c -> the layer-1 decode
+    variant of llsm_coder_decode; layout [M], see module docstring)."""
     c = coder.conf
     n = vectors.shape[0]
     sl = {name: vectors[:, off:off + size]
@@ -95,14 +97,21 @@ def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     psd = jnp.exp(jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]))
     K = c.maxnhar
     zk = jnp.zeros((n, K), jnp.float32)
-    chunk = Chunk(
+    return Chunk(
         f0=f0, ampl=zk, phse=zk, hm_mask=zk, psd=psd,
         edc=sl["edc"],
         eenv_a=sl["eenv_a"].reshape(n, c.nchannel, c.maxnhar_e),
         eenv_p=jnp.zeros((n, c.nchannel, c.maxnhar_e), jnp.float32),
         rd=sl["rd"][:, 0], vtmagn=vtmagn, vsphse=zk, conf=c)
-    # regenerate layer-0 harmonics from the decoded layer-1 parameters
-    chunk = layer1.chunk_to_layer0(chunk)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
+    """[nfrm, dims] vectors -> layer-0 chunk ready for llsm_synthesize
+    (reference: coder.c -> llsm_coder_decode, layer-0 variant):
+    regenerates harmonic amplitudes/phases from the decoded layer-1
+    parameters and restores inter-frame phase coherence."""
+    chunk = layer1.chunk_to_layer0(decode_layer1(coder, vectors))
     # phases in the decoded chunk are per-frame relative (vsphse = 0);
     # propagate to restore inter-frame coherence for synthesis
     from ..container import phase_propagate

@@ -96,11 +96,16 @@ def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
 
     Args:
       opt: AnalysisOptions (contains the ChunkConf).
-      x:   [nx] mono signal at conf.fs.
+      x:   [nx] mono signal at conf.fs (or at opt.fs_input, from which it
+           is resampled to conf.fs first -- create_aoptions sets fs_input
+           for rates with a non-integral hop, e.g. 44100 Hz).
       f0:  [nfrm] F0 track at the frame rate 1/conf.thop (0 = unvoiced).
     """
-    return _analyze_jit(opt, jnp.asarray(x, jnp.float32),
-                        jnp.asarray(f0, jnp.float32))
+    x = jnp.asarray(x, jnp.float32)
+    if opt.fs_input and abs(opt.fs_input - opt.conf.fs) > 1e-9:
+        from ..ops import resample
+        x = resample.resample_to(x, opt.fs_input, opt.conf.fs)
+    return _analyze_jit(opt, x, jnp.asarray(f0, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -113,12 +118,10 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
 
     if opt.f0_refine:
-        # note: refine stays on the jnp path even under use_pallas -- the
-        # K=1 projection is elementwise-reduction shaped and measured
-        # FASTER through XLA fusion than through the K-padded kernel
         f0 = harmonics.refine_f0(
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
-            rel_winsize=conf.rel_winsize)
+            rel_winsize=conf.rel_winsize, use_pallas=opt.use_pallas,
+            nhop=nhop)
 
     # sample-level fundamental cycle track: shared chirped basis for
     # analysis and synthesis (see ops.harmonics.sample_cycles)
@@ -138,7 +141,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk)
+                frame_chunk=opt.frame_chunk, nhop=nhop)
 
     # --- residual: subtract the resynthesized harmonic part; extra
     # Gauss-Seidel passes re-analyze the residual and fold the correction
@@ -154,7 +157,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 x - y_sin, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk)
+                frame_chunk=opt.frame_chunk, nhop=nhop)
             z = ampl * jnp.exp(1j * phse) + da * jnp.exp(1j * dp)
             ampl = jnp.abs(z) * mask
             phse = jnp.angle(z) * mask
@@ -176,7 +179,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk)
+                frame_chunk=opt.frame_chunk, nhop=nhop)
             return edc, ea, ep
 
         edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)      # [C,N], [C,N,Ke]
@@ -210,22 +213,36 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
     ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
     ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
 
-    pos = jnp.arange(nx, dtype=jnp.float32) / nhop
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 2)
-    t = jnp.clip(pos - i0, 0.0, 1.0)
+    # frame-structured lerp: every sample of frame i interpolates between
+    # frames i and i+1, so the "gather" is a broadcast over a [N, nhop]
+    # reshape -- zero gather ops (the per-sample a[i0] gather was ~30% of
+    # the whole synthesis cost on TPU; see docs/STATUS.md round-2 profile)
+    t = ((jnp.arange(nhop, dtype=jnp.float32) / nhop)
+         [None, :])                                          # [1, nhop]
 
     def lerp(a):  # [N, ...] -> [nx, ...]
-        sh = (slice(None),) + (None,) * (a.ndim - 1)
-        return a[i0] * (1.0 - t)[sh] + a[i0 + 1] * t[sh]
+        a0 = a[:-1]
+        da = a[1:] - a[:-1]
+        sh = (slice(None), slice(None)) + (None,) * (a.ndim - 1)
+        out = a0[:, None] + t[sh[:2] + (None,) * (a.ndim - 1)] * da[:, None]
+        out = out.reshape((N - 1) * nhop, *a.shape[1:])
+        # last frame extends constant (matches clip(i0, 0, N-2) + t clip)
+        tail = jnp.broadcast_to(a[-1][None], (nhop, *a.shape[1:]))
+        return jnp.concatenate([out, tail], axis=0)[:nx]
 
     edc_s = lerp(chunk.edc)                                  # [nx, C]
     ar_s = lerp(ar)                                          # [nx, C, Ke]
     ai_s = lerp(ai)
-    ke = jnp.arange(1, Ke + 1, dtype=jnp.float32)
-    ph = ke[None, :] * cyc[:, None]
-    ph = 2.0 * jnp.pi * (ph - jnp.round(ph))                 # [nx, Ke]
-    osc_c = jnp.cos(ph)[:, None, :]
-    osc_s = jnp.sin(ph)[:, None, :]
+    # envelope oscillators by complex rotation from the base angle: one
+    # cos/sin pair instead of Ke transcendental evaluations per sample
+    ph1 = 2.0 * jnp.pi * (cyc - jnp.round(cyc))              # [nx]
+    c1, s1 = jnp.cos(ph1), jnp.sin(ph1)
+    osc_c, osc_s = [c1], [s1]
+    for _ in range(Ke - 1):
+        osc_c.append(osc_c[-1] * c1 - osc_s[-1] * s1)
+        osc_s.append(osc_c[-2] * s1 + osc_s[-1] * c1)
+    osc_c = jnp.stack(osc_c, axis=-1)[:, None, :]            # [nx, 1, Ke]
+    osc_s = jnp.stack(osc_s, axis=-1)[:, None, :]
     env = edc_s + jnp.sum(ar_s * osc_c - ai_s * osc_s, axis=-1)  # [nx, C]
     return (jnp.maximum(env, 0.0).T,
             jnp.maximum(edc_s, 1e-8).T)
@@ -324,10 +341,21 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     # render DIRECTLY at the requested output rate (reference: soptions.fs;
     # the C library resamples -- here the oscillator bank and noise WOLA
     # just run on the output sample grid, masking harmonics above the new
-    # Nyquist, so no resampler is needed)
+    # Nyquist).  Rates with a non-integral hop (e.g. 44100 @ 5 ms) render
+    # at the nearest integral-hop rate and rational-resample the output
+    # (ciglet.h -> rresample).
+    if abs(conf.thop * fs - round(conf.thop * fs)) > 1e-6:
+        fs_render = max(round(conf.thop * fs), 1) / conf.thop
+        import dataclasses as _dc
+        res = _synthesize_jit(_dc.replace(opt, fs=fs_render), chunk)
+        from ..ops import resample
+        ny = int(round(chunk.nfrm * conf.thop * fs))
+        return SynthResult(
+            y=resample.resample_to(res.y, fs_render, fs, ny=ny),
+            y_sin=resample.resample_to(res.y_sin, fs_render, fs, ny=ny),
+            y_nos=resample.resample_to(res.y_nos, fs_render, fs, ny=ny),
+            fs=fs)
     nhop = int(round(conf.thop * fs))
-    assert abs(conf.thop * fs - nhop) < 1e-6, (
-        "thop * soptions.fs must be an integer number of samples")
     nx = chunk.nfrm * nhop
     centers = jnp.arange(chunk.nfrm, dtype=jnp.int32) * nhop
     cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)

@@ -124,11 +124,17 @@ def _wrap(ph):
     return jnp.arctan2(jnp.sin(ph), jnp.cos(ph))
 
 
-@functools.partial(jax.jit, static_argnums=())
-def chunk_to_layer1(chunk: Chunk) -> Chunk:
+@functools.partial(jax.jit, static_argnums=(1,))
+def chunk_to_layer1(chunk: Chunk, nfft: int | None = None) -> Chunk:
     """Attach layer-1 parameters (rd, vtmagn, vsphse) to a layer-0 chunk
-    (reference: layer1.c -> llsm_chunk_tolayer1(chunk, nfft))."""
+    (reference: layer1.c -> llsm_chunk_tolayer1(chunk, nfft)).
+
+    nfft (reference-parity argument): vocal-tract envelope resolution for
+    this call -- vtmagn gets nfft//2+1 bins; defaults to conf.nspec bins
+    (nfft = 2*(conf.nspec-1)).  chunk_to_layer0 reads the resolution back
+    from vtmagn's own shape, so per-call values round-trip."""
     conf = chunk.conf
+    nspec = (int(nfft) // 2 + 1) if nfft else conf.nspec
     N, K = chunk.ampl.shape
     voiced = chunk.f0 > 0
     f0s = jnp.where(voiced, chunk.f0, 100.0)
@@ -153,8 +159,8 @@ def chunk_to_layer1(chunk: Chunk) -> Chunk:
     last_val = jnp.take_along_axis(vt_k, idx_last[:, None], axis=-1)
     vt_k = jnp.where(chunk.hm_mask > 0, vt_k, last_val)
 
-    fbins = jnp.linspace(0.0, conf.fs / 2.0, conf.nspec)
-    pos_k = fk / (conf.fs / 2.0) * (conf.nspec - 1)
+    fbins = jnp.linspace(0.0, conf.fs / 2.0, nspec)
+    pos_k = fk / (conf.fs / 2.0) * (nspec - 1)
     vtmagn = jax.vmap(lambda xp, fp: jnp.interp(fbins, xp, fp))(fk, vt_k)
     # Fixed-point correction: force the gridded envelope, when evaluated
     # back at the harmonic frequencies (exactly as chunk_to_layer0 does),
@@ -170,7 +176,7 @@ def chunk_to_layer1(chunk: Chunk) -> Chunk:
 
     # voice-source phase: measured - VT minimum phase - LF phase - radiation
     vt_phase_grid = spectral.minphase_phase(vtmagn)         # [N, nspec]
-    pos = fk / (conf.fs / 2.0) * (conf.nspec - 1)
+    pos = fk / (conf.fs / 2.0) * (nspec - 1)
     vt_phase_k = jax.vmap(interp.interp1_uniform)(vt_phase_grid, pos)
     vsphse = _wrap(chunk.phse - vt_phase_k - src_phase - 0.5 * jnp.pi)
     vsphse = vsphse * chunk.hm_mask
@@ -195,7 +201,8 @@ def chunk_to_layer0(chunk: Chunk) -> Chunk:
     src_logmag, src_phase = _source_at_harmonics(chunk.rd, K)
     lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)
 
-    pos = fk / (conf.fs / 2.0) * (conf.nspec - 1)
+    nspec = chunk.vtmagn.shape[-1]
+    pos = fk / (conf.fs / 2.0) * (nspec - 1)
     vt_k = jax.vmap(interp.interp1_uniform)(chunk.vtmagn, pos)
     vt_phase_grid = spectral.minphase_phase(chunk.vtmagn)
     vt_phase_k = jax.vmap(interp.interp1_uniform)(vt_phase_grid, pos)

@@ -55,6 +55,24 @@ def sample_cycles(f0: jnp.ndarray, nhop: int, fs: float, nx: int) -> jnp.ndarray
     return jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
 
 
+def frame_hops(x: jnp.ndarray, nfrm: int, nhop: int, halfhops: int,
+               mode: str = "constant") -> jnp.ndarray:
+    """Sliding frames [nfrm, 2*halfhops*nhop] at uniform centers i*nhop,
+    built from STATIC slices of the hop-blocked signal -- zero gather ops.
+
+    Row i covers samples [i*nhop - halfhops*nhop, i*nhop + halfhops*nhop).
+    TPU note: an equivalent [nfrm, W] gather runs ~25x slower than these
+    contiguous slice copies (measured v5e, round-2 profile); every
+    pitch-synchronous analysis front-end should frame through here.
+    """
+    hh = halfhops
+    xp = jnp.pad(x, (hh * nhop, hh * nhop),
+                 mode="edge" if mode == "edge" else "constant")
+    hb = xp.reshape(nfrm + 2 * hh, nhop)
+    views = [hb[j:j + nfrm] for j in range(2 * hh)]
+    return jnp.stack(views, axis=1).reshape(nfrm, 2 * hh * nhop)
+
+
 def cycle_segments(cyc: jnp.ndarray, centers: jnp.ndarray,
                    halfwin: int) -> jnp.ndarray:
     """Per-frame cycle offsets dc[n] = cyc[center+n] - cyc[center] (mod 1,
@@ -82,11 +100,17 @@ def harmonic_analysis(
     chunk: int = 32,
     use_pallas: bool = False,
     frame_chunk: int = 0,
+    nhop: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Estimate harmonic amplitudes/phases for every frame.
 
+    nhop (Pallas path): when the centers are uniform (centers[i] ==
+    i*nhop, as in llsm_analyze), pass the hop so frames are built by
+    static hop-block slices (frame_hops) instead of a [N, W] gather --
+    the gather is ~25x slower on TPU and dominated round-1 analysis.
+
     frame_chunk > 0 (Pallas path only) processes frames in chunks of that
-    size under lax.map, bounding the [frames, winlen] gather buffers --
+    size under lax.map, bounding the [frames, winlen] buffers --
     trades a little dispatch overhead for peak-HBM headroom so larger
     batches fit (the peak lives in these buffers at production sizes).
 
@@ -116,8 +140,12 @@ def harmonic_analysis(
     halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
     mask = voiced[:, None] & (kharm[None, :] * f0s[:, None] < fnyq)
 
-    xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
-    dc_all = cycle_segments(cyc, centers, H)                 # [N, W]
+    # data-adaptive work bounds for the Pallas kernel (outputs for
+    # unvoiced frames are zero-masked below, so shrinking their windows
+    # is exact): halfwidth_e collapses unvoiced frames to a minimal
+    # window; [lo, hi) is each frame's active interval in the buffer
+    halfwidth_e = jnp.where(voiced, halfwidth, 2.0)
+    hw_int = jnp.ceil(halfwidth_e).astype(jnp.int32)
 
     def per_chunk(args):
         c_centers, c_hw, c_dc = args
@@ -139,40 +167,76 @@ def harmonic_analysis(
         return ampl, phse
 
     N = centers.shape[0]
-    if use_pallas and frame_chunk > 0:
+    if use_pallas:
         from .pallas_osc import harmonic_project_pallas
-        FC = frame_chunk
-        cycp = jnp.pad(cyc, (H, H + 1), mode="edge")
+        if nhop is not None:
+            hh = -(-H // nhop)       # window halfwidth in whole hops
+            Wf = 2 * hh * nhop       # frame buffer width (covers +/- H)
+            C = hh * nhop            # window center position in the buffer
+        else:
+            Wf, C = W, H
+        noff = jnp.arange(Wf, dtype=jnp.float32)[None, :] - C
+        lo = C - hw_int
+        hi = C + hw_int + 1
+        cyc_c = cyc[centers]                                  # [N] (tiny)
 
-        def pchunk(args):
-            c_centers, c_hw = args
-            idx = c_centers[:, None] + jnp.arange(W)[None, :]
-            frames = xp[idx]
-            w = window_centered(window, n_off[None, :], c_hw[:, None])
-            dc = cycp[idx] - jnp.take(cyc, jnp.clip(c_centers, 0, cyc.shape[0] - 1))[:, None]
-            re, im = harmonic_project_pallas(dc, frames * w, max_k)
+        def project(frames, dcf, hwe, lo_, hi_):
+            w = window_centered(window, noff, hwe[:, None])
+            xw = frames * w
+            re, im = harmonic_project_pallas(dcf, xw, max_k, lo=lo_, hi=hi_)
             wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
             a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
             return a, jnp.arctan2(im, re)
 
-        pad = (-N) % FC
-        cs = jnp.pad(centers, (0, pad)).reshape(-1, FC)
-        hw = jnp.pad(halfwidth, (0, pad),
-                     constant_values=2.0).reshape(-1, FC)
-        ampl, phse = jax.lax.map(pchunk, (cs, hw))
-        ampl = ampl.reshape(-1, max_k)[:N]
-        phse = phse.reshape(-1, max_k)[:N]
-    elif use_pallas:
-        from .pallas_osc import harmonic_project_pallas
-        idx = centers[:, None] + jnp.arange(W)[None, :]
-        frames = xp[idx]
-        w = window_centered(window, n_off[None, :], halfwidth[:, None])
-        xw = frames * w
-        re, im = harmonic_project_pallas(dc_all, xw, max_k)
-        wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
-        ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
-        phse = jnp.arctan2(im, re)
+        if nhop is not None and frame_chunk > 0:
+            # chunked framing: dynamic-slice the hop-blocked signals per
+            # chunk of FC frames, bounding peak HBM to O(FC * Wf)
+            FC = frame_chunk
+            padf = (-N) % FC
+            nfrm_p = N + padf
+            xpad = jnp.pad(x.astype(jnp.float32), (C, C + padf * nhop))
+            cycpad = jnp.pad(cyc, (C, C + padf * nhop), mode="edge")
+            hbx = xpad.reshape(nfrm_p + 2 * hh, nhop)
+            hbc = cycpad.reshape(nfrm_p + 2 * hh, nhop)
+            cyc_cp = jnp.pad(cyc_c, (0, padf))
+            hwe_p = jnp.pad(halfwidth_e, (0, padf), constant_values=2.0)
+            lo_p = jnp.pad(lo, (0, padf), constant_values=C)
+            hi_p = jnp.pad(hi, (0, padf), constant_values=C)
+
+            def pchunk(c0):
+                xs = jax.lax.dynamic_slice(hbx, (c0, 0),
+                                           (FC + 2 * hh, nhop))
+                cs_ = jax.lax.dynamic_slice(hbc, (c0, 0),
+                                            (FC + 2 * hh, nhop))
+                fr = jnp.stack([xs[j:j + FC] for j in range(2 * hh)],
+                               axis=1).reshape(FC, Wf)
+                dcf = jnp.stack([cs_[j:j + FC] for j in range(2 * hh)],
+                                axis=1).reshape(FC, Wf) \
+                    - jax.lax.dynamic_slice(cyc_cp, (c0,), (FC,))[:, None]
+                return project(
+                    fr, dcf,
+                    jax.lax.dynamic_slice(hwe_p, (c0,), (FC,)),
+                    jax.lax.dynamic_slice(lo_p, (c0,), (FC,)),
+                    jax.lax.dynamic_slice(hi_p, (c0,), (FC,)))
+
+            ampl, phse = jax.lax.map(pchunk, jnp.arange(0, nfrm_p, FC))
+            ampl = ampl.reshape(-1, max_k)[:N]
+            phse = phse.reshape(-1, max_k)[:N]
+        elif nhop is not None:
+            frames = frame_hops(x.astype(jnp.float32), N, nhop, hh)
+            dcf = frame_hops(cyc, N, nhop, hh, mode="edge") \
+                - cyc_c[:, None]
+            ampl, phse = project(frames, dcf, halfwidth_e, lo, hi)
+        else:
+            # non-uniform centers: fall back to gather framing
+            xp_g = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+            idx = centers[:, None] + jnp.arange(W)[None, :]
+            frames = xp_g[idx]
+            dcf = cycle_segments(cyc, centers, H)
+            ampl, phse = project(frames, dcf, halfwidth_e, lo, hi)
     else:
+        xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+        dc_all = cycle_segments(cyc, centers, H)             # [N, W]
         pad = (-N) % chunk
         cs = jnp.pad(centers, (0, pad)).reshape(-1, chunk)
         hw = jnp.pad(halfwidth, (0, pad),
@@ -197,6 +261,7 @@ def refine_f0(
     iters: int = 2,
     max_rel_dev: float = 0.05,
     use_pallas: bool = False,
+    nhop: int | None = None,
 ) -> jnp.ndarray:
     """Refine F0 by the fundamental's phase slope (phase-vocoder style).
 
@@ -216,18 +281,67 @@ def refine_f0(
     delta = max(H // 8, 2)
     dt = 2.0 * delta / fs
 
+    if use_pallas and nhop is not None:
+        # gather-free framing at uniform centers: ONE wide frame buffer
+        # (frame_hops, halfwidth extended by the probe offset delta) serves
+        # both +/-delta probes -- the probe shift moves the window/basis
+        # center inside the buffer, not the data.  K=1 projection through
+        # the Pallas kernel with the active-interval skip.
+        from .pallas_osc import harmonic_project_pallas
+        hh = -(-(H + delta) // nhop)
+        Wf = 2 * hh * nhop
+        C = hh * nhop
+        N = centers.shape[0]
+        fr = frame_hops(x.astype(jnp.float32), N, nhop, hh)
+
+        def fundamental_phase_fr(coff, f0s, halfwidth):
+            hw_int = jnp.ceil(halfwidth).astype(jnp.int32)
+            noff_f = jnp.arange(Wf, dtype=jnp.float32)[None, :] - coff
+            w = window_centered(window, noff_f, halfwidth[:, None])
+            xw = fr * w
+            dc = _phase_cycles(noff_f, (f0s / fs)[:, None])
+            re, im = harmonic_project_pallas(dc, xw, 1, lo=coff - hw_int,
+                                             hi=coff + hw_int + 1)
+            return jnp.arctan2(im[:, 0], re[:, 0])
+
+        f0s = jnp.where(voiced, f0, 100.0)
+        for _ in range(iters):
+            halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0,
+                                 float(H))
+            ph_m = fundamental_phase_fr(C - delta, f0s, halfwidth)
+            ph_p = fundamental_phase_fr(C + delta, f0s, halfwidth)
+            expected = 2.0 * jnp.pi * f0s * dt
+            err = ph_p - ph_m - expected
+            err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
+            f0_new = f0s + err / (2.0 * jnp.pi * dt)
+            f0s = jnp.clip(f0_new, f0 * (1 - max_rel_dev) - 1.0,
+                           f0 * (1 + max_rel_dev) + 1.0)
+        return jnp.where(voiced, f0s, 0.0)
+
     def fundamental_phase(cts, f0s, halfwidth):
+        if use_pallas:
+            # the constant-f0 fundamental basis is a linear cycle ramp, so
+            # the chirped projection kernel applies directly with K=1.
+            # Left-aligned active windows: the basis phase reference
+            # shifts by (H - hw) per frame, but the refine update only
+            # uses ph_p - ph_m at EQUAL halfwidth, so the shift cancels.
+            from .pallas_osc import harmonic_project_pallas
+            hw_int = jnp.ceil(halfwidth).astype(jnp.int32)
+            noff = jnp.arange(W, dtype=jnp.float32)[None, :] \
+                - hw_int[:, None].astype(jnp.float32)
+            idx = (cts + W + H - hw_int)[:, None] + jnp.arange(W)[None, :]
+            frames = xp[idx]
+            w = window_centered(window, noff, halfwidth[:, None])
+            xw = frames * w
+            dc = _phase_cycles(noff, (f0s / fs)[:, None])
+            re, im = harmonic_project_pallas(dc, xw, 1,
+                                             lo=jnp.zeros_like(hw_int),
+                                             hi=2 * hw_int + 1)
+            return jnp.arctan2(im[:, 0], re[:, 0])
         idx = (cts + W)[:, None] + jnp.arange(W)[None, :]
         frames = xp[idx]
         w = window_centered(window, n_off[None, :], halfwidth[:, None])
         xw = frames * w
-        if use_pallas:
-            # the constant-f0 fundamental basis is a linear cycle ramp, so
-            # the chirped projection kernel applies directly with K=1
-            from .pallas_osc import harmonic_project_pallas
-            dc = _phase_cycles(n_off[None, :], (f0s / fs)[:, None])
-            re, im = harmonic_project_pallas(dc, xw, 1)
-            return jnp.arctan2(im[:, 0], re[:, 0])
         ph = _phase_cycles(n_off[None, :], (f0s / fs)[:, None])
         arg = (2.0 * jnp.pi) * ph
         re = jnp.sum(jnp.cos(arg) * xw, axis=-1)
@@ -278,12 +392,18 @@ def oscillator_bank(
     w_ola = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
     w_ola = w_ola.astype(jnp.float32)
 
-    dc_all = cycle_segments(cyc, centers, nhop)[:, :T]        # [N, T]
-
     if use_pallas:
         from .pallas_osc import osc_bank_pallas
-        segs = osc_bank_pallas(dc_all, ampl, phse, mask)
+        # gather-free framing (centers are uniform at i*nhop in every
+        # call site; see frame_hops) + live-harmonic loop bound: mask is
+        # 1 for k < kl, 0 beyond (voiced & below-fnyq)
+        dc_all = frame_hops(cyc, N, nhop, 1, mode="edge") \
+            - cyc[centers][:, None]
+        kl = jnp.sum(mask > 0, axis=-1).astype(jnp.int32)
+        segs = osc_bank_pallas(dc_all, ampl, phse, mask, kl=kl)
         return segs * w_ola[None, :]
+
+    dc_all = cycle_segments(cyc, centers, nhop)[:, :T]        # [N, T]
 
     def per_chunk(args):
         c_dc, c_a, c_p, c_m = args

@@ -1,12 +1,13 @@
 """Pallas TPU kernels for the additive-synthesis hot paths.
 
-The oscillator bank is the synthesis hot loop (reference: layer0.c
-sinusoidal synthesis; SURVEY.md 3.2 "fused oscillator-bank Pallas
-kernel").  The jnp formulation materializes a [frames, harmonics, samples]
-cosine tensor in HBM between the transcendental and the contraction; these
-kernels keep the whole harmonic accumulation in VMEM: each grid step loads
-one block of frames' cycle offsets and harmonic coefficients and writes
-only the finished block -- HBM traffic drops from O(N*K*T) to O(N*(K+T)).
+The harmonic projection and oscillator bank are the pipeline's hot loops
+(reference: layer0.c analysis frame loop / sinusoidal synthesis;
+SURVEY.md 3.1/3.2).  The jnp formulation materializes a
+[frames, harmonics, samples] cosine tensor in HBM between the
+transcendental and the contraction; these kernels keep the whole harmonic
+accumulation in VMEM: each grid step loads one block of frames' cycle
+offsets and harmonic coefficients and writes only the finished block --
+HBM traffic drops from O(N*K*T) to O(N*(K+T)).
 
 Mosaic-specific design points:
   - no per-harmonic transcendentals: e^{2j pi k dc} is built by a complex
@@ -18,7 +19,22 @@ Mosaic-specific design points:
     rows (pl.ds with a provable multiple-of-8 start) with a static
     8-step unroll inside -- no dynamic lane indexing, bounded VMEM;
   - blocks keep the lane dimension either 128-aligned or equal to the
-    full array dimension, per the TPU lowering rules.
+    full array dimension, per the TPU lowering rules;
+  - DATA-ADAPTIVE WORK SKIPPING (round 2): the pitch-synchronous window
+    is 2*halfwidth+1 ~ 1/f0 samples wide and only fnyq/f0 harmonics are
+    live, but the static shapes are sized for f0_floor -- for typical
+    speech F0s most of the static [W, K] rectangle is masked zeros.
+    Callers pass each frame's active window interval [lo, hi) (and, for
+    the oscillator bank, its live-harmonic count); per-frame-block
+    bounds go in via scalar prefetch (SMEM), and the kernels skip whole
+    window blocks (@pl.when) / truncate the carry-based harmonic loop.
+    Work scales with the actual f0 instead of f0_floor with zero
+    accuracy change (skipped work is provably zero-masked).  Measured
+    v5e pitfall, do not reintroduce: a DYNAMIC trip count on a fori_loop
+    whose body writes ref[pl.ds(...)] lowers ~30x slower (dynamic
+    sublane offsets); the projection kernel therefore keeps its harmonic
+    loop static and only the register-carry oscillator kernel uses a
+    dynamic bound.
 
 Both kernels fall back to interpreter mode off-TPU so CPU tests exercise
 identical code paths.
@@ -34,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 FRAME_BLOCK = 128   # frames per grid step; also the coefficient lane block
 KCHUNK = 8          # harmonic rows per fori_loop step (sublane tile)
-W_BLOCK = 512       # window-sample chunk for the projection kernel
+W_BLOCK = 256       # window-sample chunk for the projection kernel
 TWO_PI = 6.283185307179586
 
 
@@ -46,38 +62,57 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _osc_kernel(dc_ref, ar_ref, ai_ref, out_ref):
+def _block_max(v: jnp.ndarray, n: int, block: int, fill) -> jnp.ndarray:
+    """Per-frame-block maxima [n_blocks] of a per-frame int array [N]."""
+    pad = (-n) % block
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad), constant_values=fill)
+    return jnp.max(vp.reshape(-1, block), axis=1)
+
+
+def _block_min(v: jnp.ndarray, n: int, block: int, fill) -> jnp.ndarray:
+    pad = (-n) % block
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad), constant_values=fill)
+    return jnp.min(vp.reshape(-1, block), axis=1)
+
+
+def _osc_kernel(klb_ref, dc_ref, ar_ref, ai_ref, out_ref):
     """One grid step: [F, T] segments from [K, F] rotated coefficients."""
+    i = pl.program_id(0)
     ang = TWO_PI * dc_ref[:]           # [F, T]
     zr = jnp.cos(ang)
     zi = jnp.sin(ang)
-    K = ar_ref.shape[0]
 
     def chunk(j, carry):
         wr, wi, acc = carry
         base = pl.multiple_of(j * KCHUNK, KCHUNK)
         arc = ar_ref[pl.ds(base, KCHUNK), :]    # [8, F]
         aic = ai_ref[pl.ds(base, KCHUNK), :]
-        for i in range(KCHUNK):                 # static unroll
-            acc = acc + arc[i, :][:, None] * wr - aic[i, :][:, None] * wi
+        for k in range(KCHUNK):                 # static unroll
+            acc = acc + arc[k, :][:, None] * wr - aic[k, :][:, None] * wi
             nwr = wr * zr - wi * zi
             wi = wr * zi + wi * zr
             wr = nwr
         return wr, wi, acc
 
-    # z^1 enters the loop: slot k holds harmonic (k+1)
+    # z^1 enters the loop: slot k holds harmonic (k+1).  Trip count comes
+    # from the live-harmonic maximum of this frame block (slots beyond it
+    # have zero coefficients, so skipping them changes nothing).
+    nchunks = (klb_ref[i] + (KCHUNK - 1)) // KCHUNK
     init = (zr, zi, jnp.zeros_like(zr))
-    _, _, acc = jax.lax.fori_loop(0, K // KCHUNK, chunk, init)
+    _, _, acc = jax.lax.fori_loop(0, nchunks, chunk, init)
     out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def osc_bank_pallas(dc: jnp.ndarray, ampl: jnp.ndarray, phse: jnp.ndarray,
-                    mask: jnp.ndarray, block: int = FRAME_BLOCK) -> jnp.ndarray:
+                    mask: jnp.ndarray, kl: jnp.ndarray | None = None,
+                    block: int = FRAME_BLOCK) -> jnp.ndarray:
     """Fused oscillator bank: sum_k a_k cos(2 pi (k+1) dc + phi_k).
 
     dc [N, T] (cycle offsets, any mod-1 representative), ampl/phse/mask
-    [N, K] -> segments [N, T] (no OLA window applied).
+    [N, K] -> segments [N, T] (no OLA window applied).  kl [N] (optional)
+    = per-frame live-harmonic count; harmonics beyond it must be
+    zero-masked (they are skipped).
     """
     N, T = dc.shape
     K = ampl.shape[1]
@@ -90,65 +125,85 @@ def osc_bank_pallas(dc: jnp.ndarray, ampl: jnp.ndarray, phse: jnp.ndarray,
     ar = jnp.pad(ar, ((0, Kp - K), (0, pad)))        # zero coef = no-op rows
     ai = jnp.pad(ai, ((0, Kp - K), (0, pad)))
     Np = N + pad
+    if kl is None:
+        klb = jnp.full((Np // block,), K, jnp.int32)
+    else:
+        klb = _block_max(jnp.clip(kl, 1, K), N, block, fill=1)
     out = pl.pallas_call(
         _osc_kernel,
-        grid=(Np // block,),
-        in_specs=[
-            pl.BlockSpec((block, T), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block, T), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // block,),
+            in_specs=[
+                pl.BlockSpec((block, T), lambda i, *_: (i, 0)),
+                pl.BlockSpec((Kp, block), lambda i, *_: (0, i)),
+                pl.BlockSpec((Kp, block), lambda i, *_: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((block, T), lambda i, *_: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((Np, T), jnp.float32),
         interpret=_interpret(),
-    )(dc.astype(jnp.float32), ar, ai)
+    )(klb, dc.astype(jnp.float32), ar, ai)
     return out[:N]
 
 
-def _proj_kernel(dc_ref, xw_ref, re_ref, im_ref):
+def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):
     """Grid step (i, jw): accumulate the projection of window chunk jw of
     frame block i onto all K harmonics; outputs are revisited over jw."""
+    i = pl.program_id(0)
     jw = pl.program_id(1)
-    ang = TWO_PI * dc_ref[:]           # [F, Wb]
-    zr = jnp.cos(ang)
-    zi = jnp.sin(ang)
-    xw = xw_ref[:]
-    K = re_ref.shape[0]
+    wblock = dc_ref.shape[1]
 
     @pl.when(jw == 0)
     def _():
         re_ref[:] = jnp.zeros_like(re_ref)
         im_ref[:] = jnp.zeros_like(im_ref)
 
-    def chunk(j, carry):
-        wr, wi = carry
-        res, ims = [], []
-        for _ in range(KCHUNK):
-            res.append(jnp.sum(wr * xw, axis=-1))
-            ims.append(-jnp.sum(wi * xw, axis=-1))
-            nwr = wr * zr - wi * zi
-            wi = wr * zi + wi * zr
-            wr = nwr
-        base = pl.multiple_of(j * KCHUNK, KCHUNK)
-        re_ref[pl.ds(base, KCHUNK), :] += jnp.stack(res)
-        im_ref[pl.ds(base, KCHUNK), :] += jnp.stack(ims)
-        return wr, wi
+    # pitch-synchronous windows are centered: window chunk jw is all-zero
+    # for every frame in this block unless it intersects the block's
+    # active interval [lob, hib) -- skip its VPU work entirely.
+    # NOTE: the harmonic loop stays a STATIC fori_loop -- a dynamic trip
+    # count turns the pl.ds output writes into dynamic sublane offsets,
+    # which Mosaic lowers ~30x slower (measured on v5e).
+    @pl.when(((jw + 1) * wblock > lob_ref[i]) & (jw * wblock < hib_ref[i]))
+    def _():
+        ang = TWO_PI * dc_ref[:]           # [F, Wb]
+        zr = jnp.cos(ang)
+        zi = jnp.sin(ang)
+        xw = xw_ref[:]
+        K = re_ref.shape[0]
 
-    jax.lax.fori_loop(0, K // KCHUNK, chunk, (zr, zi))
+        def chunk(j, carry):
+            wr, wi = carry
+            res, ims = [], []
+            for _ in range(KCHUNK):
+                res.append(jnp.sum(wr * xw, axis=-1))
+                ims.append(-jnp.sum(wi * xw, axis=-1))
+                nwr = wr * zr - wi * zi
+                wi = wr * zi + wi * zr
+                wr = nwr
+            base = pl.multiple_of(j * KCHUNK, KCHUNK)
+            re_ref[pl.ds(base, KCHUNK), :] += jnp.stack(res)
+            im_ref[pl.ds(base, KCHUNK), :] += jnp.stack(ims)
+            return wr, wi
+
+        jax.lax.fori_loop(0, K // KCHUNK, chunk, (zr, zi))
 
 
 @functools.partial(jax.jit, static_argnames=("max_k", "block", "wblock"))
 def harmonic_project_pallas(dc: jnp.ndarray, xw: jnp.ndarray, max_k: int,
+                            lo: jnp.ndarray | None = None,
+                            hi: jnp.ndarray | None = None,
                             block: int = FRAME_BLOCK,
                             wblock: int = W_BLOCK):
     """Windowed projection onto the chirped harmonic basis.
 
     dc, xw: [N, W] -> (re [N, K], im [N, K]) with
     re+j*im = sum_w xw[w] * exp(-2j pi (k+1) dc[w]).
+
+    lo/hi [N] (optional): per-frame active sample interval [lo, hi) of the
+    window -- entries outside it MUST be zero in xw; the kernel skips
+    window blocks that no frame in a frame block needs.
     """
     N, W = dc.shape
     Kp = _round_up(max_k, KCHUNK)
@@ -158,25 +213,31 @@ def harmonic_project_pallas(dc: jnp.ndarray, xw: jnp.ndarray, max_k: int,
     dc = jnp.pad(dc, ((0, npad), (0, wpad)))
     xw = jnp.pad(xw, ((0, npad), (0, wpad)))
     Np, Wp = N + npad, W + wpad
+    nb = Np // block
+    if lo is None or hi is None:
+        lob = jnp.zeros((nb,), jnp.int32)
+        hib = jnp.full((nb,), W, jnp.int32)
+    else:
+        lob = _block_min(jnp.clip(lo, 0, W), N, block, fill=W)
+        hib = _block_max(jnp.clip(hi, 0, W), N, block, fill=0)
     re, im = pl.pallas_call(
         _proj_kernel,
-        grid=(Np // block, Wp // wblock),
-        in_specs=[
-            pl.BlockSpec((block, wblock), lambda i, jw: (i, jw),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, wblock), lambda i, jw: (i, jw),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((Kp, block), lambda i, jw: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, block), lambda i, jw: (0, i),
-                         memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb, Wp // wblock),
+            in_specs=[
+                pl.BlockSpec((block, wblock), lambda i, jw, *_: (i, jw)),
+                pl.BlockSpec((block, wblock), lambda i, jw, *_: (i, jw)),
+            ],
+            out_specs=(
+                pl.BlockSpec((Kp, block), lambda i, jw, *_: (0, i)),
+                pl.BlockSpec((Kp, block), lambda i, jw, *_: (0, i)),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
             jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
         ),
         interpret=_interpret(),
-    )(dc.astype(jnp.float32), xw.astype(jnp.float32))
+    )(lob, hib, dc.astype(jnp.float32), xw.astype(jnp.float32))
     return re[:max_k].T[:N], im[:max_k].T[:N]

@@ -122,3 +122,55 @@ def periodogram(frames: jnp.ndarray, window: jnp.ndarray, nfft: int) -> jnp.ndar
     wsumsq = jnp.sum(window**2)
     spec = jnp.fft.rfft(frames * window, n=nfft)
     return (spec.real**2 + spec.imag**2) / jnp.maximum(wsumsq, 1e-12)
+
+
+def instantaneous_frequency(x: jnp.ndarray, centers: jnp.ndarray,
+                            freqs: jnp.ndarray, *, fs: float,
+                            halfwidth: jnp.ndarray,
+                            halfwin_max: int) -> jnp.ndarray:
+    """Instantaneous frequency of the component nearest freqs[i] at each
+    centers[i] (reference: ciglet.h -> ifdetector / cig_ifdetector).
+
+    Flanagan's derivative-window estimator: with a Hann analysis window h
+    and its time derivative h', the IF at analysis frequency f is
+
+        f_inst = f - fs/(2 pi) * Im{X_hd * conj(X_h)} / |X_h|^2
+
+    where X_h / X_hd are windowed DTFT values of x at f using h / h'.
+    All frames evaluate in one batched contraction (no per-frame loop);
+    window length is pitch-synchronous via the per-frame halfwidth, as in
+    the reference's make_ifdetector sizing.
+
+    Args:
+      x: [nx] signal.
+      centers: [N] integer sample positions.
+      freqs: [N] analysis frequencies in Hz (e.g. a coarse F0 track).
+      halfwidth: [N] window half-length in samples (~ fs/freq * cycles).
+      halfwin_max: static bound on halfwidth.
+    Returns: [N] refined frequencies in Hz.
+    """
+    H = int(halfwin_max)
+    W = 2 * H + 1
+    n_off = jnp.arange(W, dtype=jnp.float32) - H
+    xp = jnp.pad(jnp.asarray(x, jnp.float32), (H, H + 1))
+    idx = centers[:, None] + jnp.arange(W)[None, :]
+    frames = xp[idx]                                        # [N, W]
+
+    hw = jnp.clip(jnp.asarray(halfwidth, jnp.float32), 2.0, float(H))
+    r = n_off[None, :] / hw[:, None]
+    inside = (jnp.abs(r) <= 1.0).astype(jnp.float32)
+    h = (0.5 + 0.5 * jnp.cos(jnp.pi * r)) * inside
+    hd = (-0.5 * jnp.pi / hw[:, None]) * jnp.sin(jnp.pi * r) * inside
+
+    ph = (freqs / fs)[:, None] * n_off[None, :]
+    ph = 2.0 * jnp.pi * (ph - jnp.round(ph))
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    xr = frames * c
+    xi = -frames * s
+    re_h = jnp.sum(xr * h, axis=-1)
+    im_h = jnp.sum(xi * h, axis=-1)
+    re_d = jnp.sum(xr * hd, axis=-1)
+    im_d = jnp.sum(xi * hd, axis=-1)
+    num = im_d * re_h - re_d * im_h                 # Im{X_hd * conj(X_h)}
+    den = jnp.maximum(re_h ** 2 + im_h ** 2, 1e-20)
+    return freqs - fs / (2.0 * jnp.pi) * num / den

@@ -37,14 +37,20 @@ def is_transient_error(e: BaseException) -> bool:
                           TimeoutError, BrokenPipeError))
 
 
-def _pipeline(opt: AnalysisOptions, sopt: SynthesisOptions, x, f0, nx_valid):
-    """analyze -> synthesize -> masked SNR metrics for ONE utterance."""
+def _pipeline(opt: AnalysisOptions, sopt: SynthesisOptions, x, f0, nx_valid,
+              x_ref=None):
+    """analyze -> synthesize -> masked SNR metrics for ONE utterance.
+
+    x_ref (optional): clean harmonic reference for the SNR -- on noisy
+    inputs, comparing y_sin against the noisy x confounds the metric
+    with the fixture's own noise floor (VERDICT r1 weak #7)."""
     chunk = layer0._analyze_jit(opt, x, f0)
     out = layer0._synthesize_jit(sopt, chunk)
+    ref = x if x_ref is None else x_ref
     n = x.shape[0]
     m = (jnp.arange(n) < nx_valid).astype(jnp.float32)
-    err = (x - out.y_sin) * m
-    sig = x * m
+    err = (ref - out.y_sin) * m
+    sig = ref * m
     snr = 10.0 * jnp.log10(
         jnp.sum(sig**2) / jnp.maximum(jnp.sum(err**2), 1e-12))
     return out.y, snr
@@ -53,16 +59,22 @@ def _pipeline(opt: AnalysisOptions, sopt: SynthesisOptions, x, f0, nx_valid):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def batched_pipeline(opt: AnalysisOptions, sopt: SynthesisOptions,
                      x: jnp.ndarray, f0: jnp.ndarray,
-                     nx_valid: jnp.ndarray):
-    """Batched analyze+synthesize: x [B, nx], f0 [B, N], nx_valid [B].
+                     nx_valid: jnp.ndarray, x_ref: jnp.ndarray | None = None):
+    """Batched analyze+synthesize: x [B, nx], f0 [B, N], nx_valid [B];
+    x_ref [B, nx] (optional) = clean harmonic reference for the SNR.
 
     Returns (y [B, nx], snr [B], mean_snr).  Shard the inputs with
     mesh.shard_batch before calling to run data-parallel: under jit, the
     batch axis sharding propagates through the whole pipeline and the only
     cross-device communication is the final mean (an XLA psum over ICI).
     """
-    y, snr = jax.vmap(lambda a, b, c: _pipeline(opt, sopt, a, b, c))(
-        x, f0, nx_valid)
+    if x_ref is None:
+        y, snr = jax.vmap(lambda a, b, c: _pipeline(opt, sopt, a, b, c))(
+            x, f0, nx_valid)
+    else:
+        y, snr = jax.vmap(
+            lambda a, b, c, r: _pipeline(opt, sopt, a, b, c, r))(
+                x, f0, nx_valid, x_ref)
     return y, snr, jnp.mean(snr)
 
 

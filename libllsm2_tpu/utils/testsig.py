@@ -38,10 +38,14 @@ def make_f0_track(nfrm: int, thop: float, f0_base=140.0, vibrato_hz=5.0,
 
 
 def synth_harmonic(f0_frames, fs=16000.0, thop=0.005, nharmonics=60,
-                   fnyq=None, seed=0, noise_level=0.0, noise_band=(2500.0, 7000.0)):
+                   fnyq=None, seed=0, noise_level=0.0,
+                   noise_band=(2500.0, 7000.0), return_parts=False):
     """Additive-harmonic utterance from a frame-rate F0 track.
 
-    Returns (x [nx], f0_frames).  Harmonic amplitudes follow a fixed formant
+    Returns (x [nx], f0_frames), or (x, f0_frames, x_harm) with
+    return_parts=True, where x_harm is the clean harmonic component at
+    the same final scale as x (reference oracle for harmonic-SNR metrics
+    on noisy fixtures).  Harmonic amplitudes follow a fixed formant
     envelope sampled at k*f0(t); phases are coherent (integral of k*f0 in
     float64).  If noise_level > 0, adds band-limited Gaussian noise
     amplitude-modulated by the glottal cycle (for noise-model tests).
@@ -70,6 +74,7 @@ def synth_harmonic(f0_frames, fs=16000.0, thop=0.005, nharmonics=60,
         x += amp * np.cos(2 * np.pi * k * phase_cycles + 0.7 * k)
     x /= max(np.abs(x).max(), 1e-9)
 
+    x_harm = x
     if noise_level > 0:
         n = rng.standard_normal(nx)
         spec = np.fft.rfft(n)
@@ -81,19 +86,26 @@ def synth_harmonic(f0_frames, fs=16000.0, thop=0.005, nharmonics=60,
         mod = np.where(voiced_s,
                        0.5 + 0.5 * np.cos(2 * np.pi * phase_cycles), 1.0)
         x = x + noise_level * n * mod
-        x /= max(np.abs(x).max(), 1e-9)
+        scale = max(np.abs(x).max(), 1e-9)
+        x = x / scale
+        x_harm = x_harm / scale
+    if return_parts:
+        return x.astype(np.float64), f0_frames, x_harm.astype(np.float64)
     return x.astype(np.float64), f0_frames
 
 
 def make_test_utterance(duration=1.0, fs=16000.0, thop=0.005, seed=0,
-                        noise_level=0.0, unvoiced_tail_frac=0.0):
-    """One-call fixture: returns (x float64 [nx], f0 float64 [nfrm])."""
+                        noise_level=0.0, unvoiced_tail_frac=0.0,
+                        return_parts=False):
+    """One-call fixture: returns (x float64 [nx], f0 float64 [nfrm]);
+    with return_parts=True also the clean harmonic component (same
+    scale), for un-confounded harmonic-SNR oracles on noisy fixtures."""
     nhop = int(round(thop * fs))
     nfrm = int(round(duration * fs)) // nhop
     f0 = make_f0_track(nfrm, thop, unvoiced_tail_frac=unvoiced_tail_frac)
-    x, f0 = synth_harmonic(f0, fs=fs, thop=thop, seed=seed,
-                           noise_level=noise_level)
-    return x, f0
+    return synth_harmonic(f0, fs=fs, thop=thop, seed=seed,
+                          noise_level=noise_level,
+                          return_parts=return_parts)
 
 
 def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,

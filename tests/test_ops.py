@@ -149,3 +149,32 @@ class TestICZT:
         back = np.asarray(spectral.iczt(X, 1.0 / 64))
         np.testing.assert_allclose(back.real, x, atol=1e-3)
         np.testing.assert_allclose(back.imag, 0.0, atol=1e-3)
+
+
+class TestInstantaneousFrequency:
+    """Standalone IF detector (reference: ciglet.h -> ifdetector),
+    VERDICT r1 missing #3."""
+
+    def test_tone_offset_recovered(self):
+        fs = 16000.0
+        t = np.arange(16000) / fs
+        x = np.sin(2 * np.pi * 212.5 * t).astype(np.float32)
+        centers = jnp.arange(20, dtype=jnp.int32) * 400 + 2000
+        fi = np.asarray(spectral.instantaneous_frequency(
+            jnp.asarray(x), centers, jnp.full(20, 200.0),
+            fs=fs, halfwidth=jnp.full(20, fs / 200 * 3), halfwin_max=300))
+        assert abs(fi.mean() - 212.5) < 0.1
+        assert fi.std() < 0.5
+
+    def test_chirp_tracked(self):
+        fs = 16000.0
+        t = np.arange(16000) / fs
+        f0c, f1c = 150.0, 250.0
+        x = np.sin(2 * np.pi * (f0c * t + 0.5 * (f1c - f0c) * t ** 2))
+        cts = jnp.arange(10, dtype=jnp.int32) * 1200 + 2000
+        truth = f0c + (f1c - f0c) * np.asarray(cts) / fs
+        fi = np.asarray(spectral.instantaneous_frequency(
+            jnp.asarray(x, jnp.float32), cts,
+            jnp.asarray(truth - 8.0, jnp.float32), fs=fs,
+            halfwidth=jnp.full(10, 240.0), halfwin_max=300))
+        assert np.abs(fi - truth).max() < 0.5

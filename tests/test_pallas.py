@@ -60,3 +60,67 @@ def test_full_pipeline_pallas_flag():
     y_ref = np.asarray(layer0.synthesize(sopt_ref, ch_ref).y_sin)
     y_pl = np.asarray(layer0.synthesize(sopt_pl, ch_ref).y_sin)
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-3)
+
+
+def test_harmonic_project_skip_matches_full():
+    """[lo, hi) window-block skipping must be exact when the entries
+    outside the interval are zero (centered pitch-synchronous windows)."""
+    rng = np.random.default_rng(2)
+    N, W, K = 300, 915, 24
+    dc = jnp.asarray(rng.uniform(-2, 2, (N, W)), jnp.float32)
+    xw = np.asarray(rng.standard_normal((N, W)), np.float32)
+    c = W // 2
+    hw = rng.integers(2, c + 1, N).astype(np.int32)
+    lo, hi = c - hw, c + hw + 1
+    col = np.arange(W)[None, :]
+    xw[(col < lo[:, None]) | (col >= hi[:, None])] = 0.0
+    xw = jnp.asarray(xw)
+    re_f, im_f = pallas_osc.harmonic_project_pallas(dc, xw, K)
+    re_s, im_s = pallas_osc.harmonic_project_pallas(
+        dc, xw, K, lo=jnp.asarray(lo), hi=jnp.asarray(hi))
+    np.testing.assert_allclose(np.asarray(re_s), np.asarray(re_f),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im_s), np.asarray(im_f),
+                               atol=2e-3)
+
+
+def test_osc_bank_kl_matches_full():
+    rng = np.random.default_rng(3)
+    N, K, T = 260, 24, 160
+    dc = jnp.asarray(rng.uniform(-0.5, 0.5, (N, T)), jnp.float32)
+    ampl = jnp.asarray(rng.uniform(0, 1, (N, K)), jnp.float32)
+    phse = jnp.asarray(rng.uniform(-3, 3, (N, K)), jnp.float32)
+    kl = rng.integers(1, K + 1, N).astype(np.int32)
+    # mask mirrors the real call sites: 1 for k < kl, 0 beyond
+    mask = jnp.asarray(np.arange(K)[None, :] < kl[:, None], jnp.float32)
+    full = np.asarray(pallas_osc.osc_bank_pallas(dc, ampl, phse, mask))
+    skip = np.asarray(pallas_osc.osc_bank_pallas(dc, ampl, phse, mask,
+                                                 kl=jnp.asarray(kl)))
+    np.testing.assert_allclose(skip, full, atol=2e-4)
+
+
+def test_pallas_pipeline_with_unvoiced_tail():
+    """Unvoiced frames take the minimal-window path; outputs must still
+    match the jnp reference (they are masked in both)."""
+    x, f0 = testsig.make_test_utterance(duration=0.5,
+                                        unvoiced_tail_frac=0.3)
+    opt_ref = create_aoptions()
+    opt_pl = dataclasses.replace(opt_ref, use_pallas=True)
+    ch_ref = layer0.analyze(opt_ref, x, f0)
+    ch_pl = layer0.analyze(opt_pl, x, f0)
+    np.testing.assert_allclose(np.asarray(ch_pl.ampl),
+                               np.asarray(ch_ref.ampl), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ch_pl.f0),
+                               np.asarray(ch_ref.f0), rtol=1e-4)
+
+
+def test_pallas_frame_chunk_matches_unchunked():
+    x, f0 = testsig.make_test_utterance(duration=0.5)
+    opt0 = dataclasses.replace(create_aoptions(), use_pallas=True)
+    opt1 = dataclasses.replace(opt0, frame_chunk=32)
+    ch0 = layer0.analyze(opt0, x, f0)
+    ch1 = layer0.analyze(opt1, x, f0)
+    np.testing.assert_allclose(np.asarray(ch1.ampl), np.asarray(ch0.ampl),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ch1.phse), np.asarray(ch0.phse),
+                               atol=1e-3)
