@@ -118,26 +118,21 @@ class TestEdits:
 
 
 class TestRdRecovery:
-    def test_rd_estimate_orders_correctly(self):
-        """On LF-excited fixtures with known Rd, the layer-1 fit must
-        recover the ordering (and roughly the value) of the glottal
-        parameter -- the oracle the reference never had."""
+    def test_rd_recovered_within_25pct_under_formants(self):
+        """On LF-excited fixtures with strong formants and known Rd, the
+        phase-deviation fit must recover the ABSOLUTE value within 25%
+        (VERDICT r1 #3 acceptance criterion; the round-1 amplitude-tilt
+        fit was biased 2-3x low by formant contamination)."""
         est = {}
-        for rd_true in (0.5, 1.0, 2.2):
+        for rd_true in (0.4, 1.0, 1.8, 2.7):
             f0 = testsig.make_f0_track(160, 0.005, vibrato_depth=0.0,
                                        glide=0.0)
             x, f0 = testsig.synth_lf_speech(f0, rd=rd_true)
             chunk = layer0.analyze(create_aoptions(), x, f0)
             l1 = layer1.chunk_to_layer1(chunk)
-            rd = np.asarray(l1.rd)[20:-20]
-            est[rd_true] = float(np.median(rd))
-        # strict monotone ordering; absolute values carry a known ~2x low
-        # bias from formant contamination of the amplitude tilt (the
-        # vocal tract's own tilt is attributed to the source) -- round
-        # trips are exact regardless, see layer1.fit_rd docstring
-        assert est[0.5] < est[1.0] < est[2.2], est
-        assert 0.08 < est[0.5] < 1.0, est
-        assert 0.6 < est[2.2] < 4.0, est
+            est[rd_true] = float(np.median(np.asarray(l1.rd)[20:-20]))
+            assert abs(est[rd_true] - rd_true) <= 0.25 * rd_true, est
+        assert est[0.4] < est[1.0] < est[1.8] < est[2.7], est
 
 
 class TestNfftArgument:
