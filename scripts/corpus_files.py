@@ -1,0 +1,163 @@
+"""BASELINE config 5 from FILES: analyze+resynthesize a directory of WAV
+files (with .f0.npy sidecar tracks) through the native C++ batch loader,
+with double-buffered host assembly overlapping device compute.
+
+  python scripts/corpus_files.py [n_utts=1000] [batch=64] [pallas=1] \
+      [dir=/tmp/llsm_corpus] [gen=1]
+
+gen=1 synthesizes the corpus to dir first (excluded from the timed run).
+Prints one JSON line with throughput and SNR statistics.
+"""
+import dataclasses
+import json
+import os
+import struct
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def wav_nsamples(path: str) -> int:
+    """Frame count from the RIFF header alone (no data read)."""
+    with open(path, "rb") as f:
+        hdr = f.read(12)
+        if len(hdr) < 12 or hdr[:4] != b"RIFF":
+            return 0
+        nch, bits = 1, 16
+        while True:
+            ck = f.read(8)
+            if len(ck) < 8:
+                return 0
+            cid, size = ck[:4], struct.unpack("<I", ck[4:])[0]
+            if cid == b"fmt ":
+                fmt = f.read(size)
+                nch = struct.unpack("<H", fmt[2:4])[0]
+                bits = struct.unpack("<H", fmt[14:16])[0]
+            elif cid == b"data":
+                return size // (nch * (bits // 8))
+            else:
+                f.seek(size, 1)
+
+
+def generate_corpus(dirpath: str, n_utts: int, fs: float) -> None:
+    from libllsm2_tpu.utils import audio, testsig
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_utts):
+        wav = os.path.join(dirpath, f"utt{i:05d}.wav")
+        if os.path.exists(wav):
+            continue
+        dur = float(rng.uniform(0.5, 2.0))
+        x, f0 = testsig.make_test_utterance(duration=dur, seed=i,
+                                            noise_level=0.05)
+        audio.wavwrite(wav, x.astype(np.float32), fs)
+        np.save(wav.replace(".wav", ".f0.npy"), f0.astype(np.float32))
+
+
+def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
+    from libllsm2_tpu.parallel import corpus
+    from libllsm2_tpu.utils import dataio
+
+    conf = ChunkConf(f0_floor=70.0)
+    opt = dataclasses.replace(create_aoptions(), conf=conf,
+                              use_pallas=bool(pallas))
+    sopt = dataclasses.replace(create_soptions(), use_pallas=bool(pallas))
+    nhop = conf.nhop
+
+    if gen:
+        generate_corpus(dir, int(n_utts), conf.fs)
+    paths = sorted(
+        os.path.join(dir, p) for p in os.listdir(dir) if p.endswith(".wav")
+    )[:int(n_utts)]
+    assert paths, f"no WAV files in {dir}"
+    assert dataio.native_available(), "native loader failed to build"
+
+    # bucket by header-scanned length (no data reads)
+    lengths = [wav_nsamples(p) for p in paths]
+    nfrm_of = [n // nhop for n in lengths]
+    buckets = corpus.make_buckets(nfrm_of, (200, 400))
+    total_audio = sum(lengths) / conf.fs
+
+    # batch plan: (bucket_frames, [paths...]) per batch, padded to `batch`
+    plan = []
+    for b, idxs in buckets.items():
+        for s in range(0, len(idxs), int(batch)):
+            plan.append((b, [paths[i] for i in idxs[s:s + int(batch)]]))
+
+    def assemble(item):
+        """Host side: native batch WAV load + f0 sidecar load + pad."""
+        b, ps = item
+        nsamp = b * nhop
+        x, ln, _ = dataio.load_wav_batch(ps, nsamp)    # [B', nsamp] native
+        B = int(batch)
+        if x.shape[0] < B:                              # pad partial batch
+            x = np.pad(x, ((0, B - x.shape[0]), (0, 0)))
+            ln = np.pad(ln, (0, B - len(ln)))
+        f0 = np.zeros((B, b), np.float32)
+        for j, p in enumerate(ps):
+            t = np.load(p.replace(".wav", ".f0.npy"))
+            nf = min(len(t), b)
+            f0[j, :nf] = t[:nf]
+        return (jnp.asarray(x), jnp.asarray(f0),
+                jnp.asarray(np.minimum(ln, nsamp).astype(np.int32)))
+
+    # warm-up/compile one batch per bucket shape (excluded from timing)
+    for b in buckets:
+        xj, f0j, nxj = assemble((b, [paths[0]]))
+        y, snr, ms = corpus.batched_pipeline(opt, sopt, xj, f0j, nxj)
+        _ = np.asarray(ms)
+
+    # timed run: double-buffered -- the loader assembles batch k+1 on a
+    # host thread while the device computes batch k (the round-1 corpus
+    # demo serialized these and sat at 301x; VERDICT r1 #4)
+    snrs, nbatches = [], 0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(assemble, plan[0])
+        for k in range(len(plan)):
+            xj, f0j, nxj = fut.result()
+            if k + 1 < len(plan):
+                fut = pool.submit(assemble, plan[k + 1])
+            y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, xj, f0j,
+                                                       nxj)
+            # sync per batch (relay backs up otherwise); scalar fetch
+            snrs.append(float(mean_snr))
+            nbatches += 1
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "file corpus analyze+resynth (native loader, "
+                  "double-buffered)",
+        "value": round(total_audio / dt, 1),
+        "unit": "audio-sec/sec/chip",
+        "detail": {
+            "n_utts": len(paths), "batch": int(batch),
+            "batches": nbatches, "wall_s": round(dt, 2),
+            "audio_s": round(total_audio, 1),
+            "mean_snr_db": round(float(np.mean(snrs)), 2),
+            "native_loader": True,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = v if k == "dir" else (float(v) if "." in v else int(v))
+    main(**kw)

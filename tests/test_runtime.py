@@ -174,3 +174,55 @@ class TestNativeLoader:
         batch, lengths, rates = dataio.load_wav_batch([bad], 100)
         assert lengths[0] == 0
         np.testing.assert_array_equal(batch[0], 0.0)
+
+
+class TestFeedMany:
+    """Batched streaming feed (VERDICT r1 #5): feed_many must produce
+    byte-identical output to per-frame feed at <= 1/16 the dispatches."""
+
+    def _chunk(self):
+        x, f0 = testsig.make_test_utterance(duration=0.5, noise_level=0.03)
+        opt = small_opt() if "small_opt" in globals() else None
+        if opt is None:
+            import dataclasses
+            from libllsm2_tpu import ChunkConf, create_aoptions
+            conf = ChunkConf(maxnhar=24, npsd=32, nspec=65, f0_floor=90.0,
+                             fnyq=6000.0)
+            opt = dataclasses.replace(create_aoptions(), conf=conf)
+        return layer0.analyze(opt, x, f0)
+
+    def test_feed_many_matches_per_frame(self):
+        chunk = self._chunk()
+        sopt = create_soptions()
+        y1 = rtsynth.stream_chunk(sopt, chunk)
+        y2 = rtsynth.stream_chunk(sopt, chunk, block=32)
+        n = min(len(y1), len(y2))
+        np.testing.assert_allclose(y2[:n], y1[:n], atol=2e-5)
+
+    def test_dispatch_count_bounded(self):
+        chunk = self._chunk()
+        sopt = create_soptions()
+        rt = rtsynth.RTSynthesizer(sopt, chunk.conf,
+                                   capacity_frames=chunk.nfrm + 8)
+        rt.feed_many(chunk)
+        rt.flush()
+        nfrm = chunk.nfrm
+        assert rt.dispatches <= nfrm // rt.feed_block + 2, (
+            rt.dispatches, nfrm)
+        # per-frame path for comparison: one dispatch per frame
+        rt2 = rtsynth.RTSynthesizer(sopt, chunk.conf,
+                                    capacity_frames=chunk.nfrm + 8)
+        for i in range(nfrm):
+            rt2.feed(chunk.frame(i))
+        rt2.flush()
+        assert rt2.dispatches == nfrm
+        assert rt.dispatches * 8 < rt2.dispatches
+
+    def test_feed_many_pbp_matches_per_frame(self):
+        from libllsm2_tpu.models import layer1
+        chunk = layer1.chunk_to_layer1(self._chunk())
+        sopt = create_soptions()
+        y1 = rtsynth.stream_chunk(sopt, chunk, synth_mode="pbp")
+        y2 = rtsynth.stream_chunk(sopt, chunk, synth_mode="pbp", block=16)
+        n = min(len(y1), len(y2))
+        np.testing.assert_allclose(y2[:n], y1[:n], atol=2e-4)
