@@ -56,17 +56,25 @@ def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0):
     x_ref = jnp.asarray(np.stack(refs), jnp.float32)
     nxv = jnp.full((batch,), x.shape[1], jnp.int32)
 
+    # the big arrays are CLOSED OVER (device-resident constants) and the
+    # step returns only scalars: this image's relay marshals jit call
+    # arguments/results per dispatch, which at batch 128 adds ~0.2 s/step
+    # of pure tunnel overhead that a local chip would never see
+    @jax.jit
+    def step(eps):
+        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x + eps, f0,
+                                                   nxv, x_ref)
+        return mean_snr, y[0, 0]
+
     # compile + warm up
-    y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x, f0, nxv, x_ref)
+    mean_snr, _y0 = step(jnp.float32(0.0))
     _ = np.asarray(mean_snr)   # full sync via host transfer
 
     times = []
     for i in range(iters):
         # vary an input so no caching layer can elide the step
-        x_i = x + jnp.float32(1e-7 * (i + 1))
         t0 = time.perf_counter()
-        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x_i, f0, nxv,
-                                                   x_ref)
+        mean_snr, _y0 = step(jnp.float32(1e-7 * (i + 1)))
         _ = np.asarray(mean_snr)   # host transfer forces completion
         times.append(time.perf_counter() - t0)
     dt = min(times)

@@ -22,9 +22,16 @@ def snr_db(ref, est, trim: float = 0.05) -> float:
 
 
 def log_spectral_distance_db(ref, est, fs: float = 16000.0,
-                             nwin: int = 512, lo_hz: float = 50.0) -> float:
+                             nwin: int = 512, lo_hz: float = 50.0,
+                             smooth_bins: int = 0) -> float:
     """Mean log-spectral distance (dB RMS over time-frequency) between two
-    signals, from Welch-style averaged frame spectra."""
+    signals, from Welch-style averaged frame spectra.
+
+    smooth_bins > 0 averages POWER over that many adjacent frequency bins
+    before the log: raw per-bin comparison of two different noise
+    REALIZATIONS has an irreducible ~10 dB RMS floor (chi-square bin
+    variance), so envelope-level oracles for stochastic components must
+    compare smoothed spectra."""
     from scipy import signal as sps
 
     ref = np.asarray(ref, np.float64)
@@ -32,9 +39,17 @@ def log_spectral_distance_db(ref, est, fs: float = 16000.0,
     n = min(len(ref), len(est))
     f, t, Sr = sps.stft(ref[:n], fs, nperseg=nwin)
     _, _, Se = sps.stft(est[:n], fs, nperseg=nwin)
+    pr, pe = np.abs(Sr) ** 2, np.abs(Se) ** 2
+    if smooth_bins > 1:
+        k = np.ones(smooth_bins) / smooth_bins
+        pr = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, pr)
+        pe = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, pe)
     band = f >= lo_hz
-    lr = 20 * np.log10(np.abs(Sr[band]) + 1e-9)
-    le = 20 * np.log10(np.abs(Se[band]) + 1e-9)
+    # floor at -80 dB below the joint peak: silence/near-silence bins
+    # otherwise dominate the RMS with meaningless log ratios
+    floor = max(pr.max(), pe.max(), 1e-18) * 1e-8
+    lr = 10 * np.log10(np.maximum(pr[band], floor))
+    le = 10 * np.log10(np.maximum(pe[band], floor))
     return float(np.sqrt(np.mean((lr - le) ** 2)))
 
 

@@ -159,3 +159,115 @@ def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
         x = x + noise_level * np.std(x) / max(np.std(n), 1e-9) * n
     x = x / max(np.abs(x).max(), 1e-9)
     return x, f0_frames
+
+
+def make_hard_f0_track(nfrm: int, thop: float, register: str = "male",
+                       jitter: float = 0.0, seed: int = 0,
+                       unvoiced_tail_frac: float = 0.0):
+    """F0 contour for the hardened fixtures (VERDICT r1 #6): three
+    registers (male 80 / female 220 / child 300 Hz base), vibrato, glide,
+    and optional cycle-to-cycle jitter (random-walk perturbation, the
+    classic voice-quality stressor)."""
+    base = {"male": 80.0, "female": 220.0, "child": 300.0}[register]
+    f0 = make_f0_track(nfrm, thop, f0_base=base,
+                       unvoiced_tail_frac=unvoiced_tail_frac)
+    if jitter > 0:
+        rng = np.random.default_rng(seed + 17)
+        walk = np.cumsum(rng.standard_normal(nfrm))
+        walk = walk - np.linspace(walk[0], walk[-1], nfrm)
+        walk /= max(np.abs(walk).max(), 1e-9)
+        f0 = f0 * (1.0 + jitter * walk) * (f0 > 0)
+    return f0
+
+
+def synth_hard_utterance(duration=1.0, fs=16000.0, thop=0.005,
+                         register="male", seed=0, jitter=0.01,
+                         shimmer=0.1, glide_formants=True,
+                         burst=True, noise_level=0.05,
+                         unvoiced_tail_frac=0.15):
+    """Hardened fixture (VERDICT r1 #6): jitter + shimmer + diphthong
+    formant glides + a consonant burst + breath noise + unvoiced tail,
+    at a selectable F0 register.  Returns (x, f0, x_harm) with x_harm
+    the clean harmonic component at the same scale.
+
+    Built in float64 on the host like synth_harmonic; the formant
+    envelope glides from /a/-like to /i/-like targets when
+    glide_formants is set, amplitudes get a slow multiplicative shimmer,
+    and `burst` injects a 25 ms high-band noise transient (stop-consonant
+    release) right before the voiced region.
+    """
+    nhop = int(round(thop * fs))
+    nfrm = int(round(duration * fs)) // nhop
+    f0_frames = make_hard_f0_track(nfrm, thop, register=register,
+                                   jitter=jitter, seed=seed,
+                                   unvoiced_tail_frac=unvoiced_tail_frac)
+    nx = nfrm * nhop
+    t = np.arange(nx) / fs
+    frame_t = np.arange(nfrm) * thop
+    f0_s = np.interp(t, frame_t, np.where(f0_frames > 0, f0_frames, 0.0))
+    voiced_s = np.interp(t, frame_t,
+                         (f0_frames > 0).astype(np.float64)) > 0.999
+    phase_cycles = np.cumsum(np.where(voiced_s, f0_s, 0.0)) / fs
+
+    # diphthong formant glide: /a/ (730, 1090, 2440) -> /i/ (270, 2290, 3010)
+    fa = np.array([[730.0, 90.0], [1090.0, 110.0], [2440.0, 140.0]])
+    fi = np.array([[270.0, 60.0], [2290.0, 120.0], [3010.0, 150.0]])
+    g = (t / max(t[-1], 1e-9))[:, None, None] if glide_formants else 0.0
+    form_t = fa[None] * (1 - g) + fi[None] * g          # [nx, 3, 2]
+
+    rng = np.random.default_rng(seed)
+    # slow multiplicative shimmer (amplitude modulation, ~8 Hz band)
+    sh = rng.standard_normal(nx)
+    b = np.fft.rfft(sh)
+    fr = np.fft.rfftfreq(nx, 1 / fs)
+    b *= np.exp(-0.5 * (fr / 8.0) ** 2)
+    sh = np.fft.irfft(b, nx)
+    sh = 1.0 + shimmer * sh / max(np.abs(sh).max(), 1e-9)
+
+    x = np.zeros(nx)
+    fny = 0.47 * fs
+    for k in range(1, 81):
+        fk = k * f0_s
+        active = voiced_s & (fk < fny)
+        if not active.any():
+            break
+        env = np.zeros(nx)
+        for j in range(3):
+            fc, bw = form_t[:, j, 0], form_t[:, j, 1]
+            env += 1.0 / np.sqrt(1.0 + ((fk - fc) / bw) ** 4)
+        env += 1e-3
+        tilt = np.power(np.maximum(fk, 50.0) / 200.0, -1.0)
+        amp = env * np.minimum(tilt, 1.0) * active
+        x += amp * np.cos(2 * np.pi * k * phase_cycles + 0.7 * k)
+    x *= sh
+    x /= max(np.abs(x).max(), 1e-9)
+    x_harm = x.copy()
+
+    if burst:
+        # 25 ms high-band transient at the first voiced onset
+        on = int(np.argmax(voiced_s)) if voiced_s.any() else 0
+        start = max(on - int(0.030 * fs), 0)
+        L = int(0.025 * fs)
+        n = rng.standard_normal(L)
+        spec = np.fft.rfft(n)
+        fb = np.fft.rfftfreq(L, 1 / fs)
+        spec *= (fb > 2000.0)
+        n = np.fft.irfft(spec, L)
+        n *= np.exp(-np.arange(L) / (0.004 * fs))
+        n /= max(np.abs(n).max(), 1e-9)
+        x[start:start + L] += 0.5 * n[:max(0, min(L, nx - start))]
+
+    if noise_level > 0:
+        n = rng.standard_normal(nx)
+        spec = np.fft.rfft(n)
+        fr = np.fft.rfftfreq(nx, 1 / fs)
+        spec *= (fr >= 2500.0) & (fr <= 7000.0)
+        n = np.fft.irfft(spec, nx)
+        n /= max(np.abs(n).max(), 1e-9)
+        mod = np.where(voiced_s,
+                       0.5 + 0.5 * np.cos(2 * np.pi * phase_cycles), 1.0)
+        x = x + noise_level * n * mod
+
+    scale = max(np.abs(x).max(), 1e-9)
+    return ((x / scale).astype(np.float64), f0_frames,
+            (x_harm / scale).astype(np.float64))

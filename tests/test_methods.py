@@ -120,3 +120,26 @@ def test_synthesis_is_differentiable():
     step = 0.1 * float(jnp.abs(a0).max()) / float(jnp.abs(g).max())
     l1 = float(loss(a0 - step * g))
     assert l1 < l0, (l0, l1)
+
+
+def test_upsampled_noise_rolls_off():
+    """SPEC (VERDICT r1 #7): synthesizing at fs_out > conf.fs must NOT
+    extrapolate noise above the analysis Nyquist -- energy in
+    [conf.fs/2, fs_out/2] stays >= 40 dB below the in-band noise."""
+    import dataclasses
+
+    from libllsm2_tpu import create_aoptions, create_soptions
+    from libllsm2_tpu.models import layer0
+    from libllsm2_tpu.utils import testsig
+
+    x, f0 = testsig.make_test_utterance(duration=0.5, noise_level=0.1)
+    opt = create_aoptions()
+    conf = opt.conf
+    chunk = layer0.analyze(opt, x, f0)
+    out = layer0.synthesize(create_soptions(fs=2 * conf.fs), chunk)
+    y_nos = np.asarray(out.y_nos)
+    spec = np.abs(np.fft.rfft(y_nos)) ** 2
+    f = np.fft.rfftfreq(len(y_nos), 1.0 / out.fs)
+    inband = spec[(f > 2500.0) & (f < conf.fs / 2 * 0.9)].mean()
+    above = spec[f > conf.fs / 2].mean()
+    assert above < inband * 1e-4, (10 * np.log10(above / inband))
