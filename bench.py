@@ -7,6 +7,20 @@ vs_baseline is measured against the BASELINE.json north-star target of
 500x realtime per chip (the reference publishes no numbers; BASELINE.md).
 Runs on whatever jax's default backend is (the real TPU under the driver;
 CPU if JAX_PLATFORMS=cpu).
+
+Measurement method: `repeats` full pipeline steps run inside ONE jitted
+lax.scan dispatch (inputs perturbed per step so nothing can be elided)
+and the dispatch wall time is divided by `repeats`.  This image's TPU
+relay adds ~0.2-1.7 s of PER-DISPATCH marshaling overhead for large
+argument/closure buffers -- an artifact a locally-attached chip does not
+have; the scan amortizes it so the number tracks actual chip throughput
+(docs/STATUS.md "Known environment facts").
+
+The reported SNR is the harmonic reconstruction measured against the
+CLEAN harmonic component of the noisy fixtures (breath noise at level
+0.05 puts the estimation floor near 29 dB -- noise energy landing on the
+harmonic frequencies is attributed to the harmonics; see
+tests/test_hard_fixtures.py for the same physics).
 """
 import dataclasses
 import json
@@ -18,7 +32,7 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0):
+def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=4):
     import jax
     import jax.numpy as jnp
 
@@ -50,34 +64,29 @@ def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0):
         refs.append(x_harm)
     x = jnp.asarray(np.stack(xs), jnp.float32)
     f0 = jnp.asarray(np.stack(f0s), jnp.float32)
-    # SNR oracle = the CLEAN harmonic component (the fixtures carry
-    # noise_level=0.05 breath noise; comparing against the noisy mix
-    # would confound the metric with the fixture's own noise floor)
     x_ref = jnp.asarray(np.stack(refs), jnp.float32)
     nxv = jnp.full((batch,), x.shape[1], jnp.int32)
+    R = int(repeats)
 
-    # the big arrays are CLOSED OVER (device-resident constants) and the
-    # step returns only scalars: this image's relay marshals jit call
-    # arguments/results per dispatch, which at batch 128 adds ~0.2 s/step
-    # of pure tunnel overhead that a local chip would never see
     @jax.jit
-    def step(eps):
-        y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, x + eps, f0,
-                                                   nxv, x_ref)
-        return mean_snr, y[0, 0]
+    def run():
+        def body(c, i):
+            y, snr, mean_snr = corpus.batched_pipeline(
+                opt, sopt, x + jnp.float32(1e-7) * (i + 1), f0, nxv, x_ref)
+            return c + mean_snr, None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(R, dtype=jnp.int32))
+        return s / R
 
     # compile + warm up
-    mean_snr, _y0 = step(jnp.float32(0.0))
-    _ = np.asarray(mean_snr)   # full sync via host transfer
+    mean_snr = float(np.asarray(run()))
 
     times = []
-    for i in range(iters):
-        # vary an input so no caching layer can elide the step
+    for _ in range(iters):
         t0 = time.perf_counter()
-        mean_snr, _y0 = step(jnp.float32(1e-7 * (i + 1)))
-        _ = np.asarray(mean_snr)   # host transfer forces completion
+        _ = float(np.asarray(run()))   # host transfer forces completion
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / R
     audio_sec = batch * duration
     value = audio_sec / dt
     print(json.dumps({
@@ -88,7 +97,8 @@ def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0):
         "detail": {
             "batch": batch, "duration_s": duration,
             "best_step_s": round(dt, 4), "pallas": bool(pallas),
-            "mean_harmonic_snr_db": round(float(mean_snr), 2),
+            "steps_per_dispatch": R,
+            "mean_harmonic_snr_vs_clean_db": round(mean_snr, 2),
             "device": str(jax.devices()[0]),
         },
     }))
