@@ -23,13 +23,26 @@ def initialize_multihost(coordinator_address: str | None = None,
     all collectives thereafter ride ICI/DCN picked by XLA's GSPMD
     partitioner based on the mesh layout.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # idempotence WITHOUT touching the backend: jax.process_count() would
+    # itself initialize XLA, after which jax.distributed.initialize()
+    # refuses to run (measured; tests/test_multiprocess.py)
     try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except Exception:
+        if jax.process_count() > 1:
+            return
+    if coordinator_address is not None:
+        # explicit cluster spec: failures must propagate (a silently
+        # single-process "cluster" would shred throughput and results)
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process launch without cluster env: nothing to do
         pass

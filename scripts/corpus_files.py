@@ -11,6 +11,7 @@ Prints one JSON line with throughput and SNR statistics.
 import dataclasses
 import json
 import os
+import functools
 import struct
 import sys
 import time
@@ -116,28 +117,41 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
         return (jnp.asarray(x), jnp.asarray(f0),
                 jnp.asarray(np.minimum(ln, nsamp).astype(np.int32)))
 
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def pipeline_snr(o, so, xj, f0j, nxj):
+        """snr-only wrapper: the full [B, nx] output y is ~8 MB of
+        per-batch result marshaling over this image's relay; a corpus
+        QA pass only needs the metrics."""
+        y, snr, _ = corpus.batched_pipeline(o, so, xj, f0j, nxj)
+        return snr
+
     # warm-up/compile one batch per bucket shape (excluded from timing)
     for b in buckets:
         xj, f0j, nxj = assemble((b, [paths[0]]))
-        y, snr, ms = corpus.batched_pipeline(opt, sopt, xj, f0j, nxj)
-        _ = np.asarray(ms)
+        _ = np.asarray(pipeline_snr(opt, sopt, xj, f0j, nxj))
 
-    # timed run: double-buffered -- the loader assembles batch k+1 on a
-    # host thread while the device computes batch k (the round-1 corpus
-    # demo serialized these and sat at 301x; VERDICT r1 #4)
+    # timed run, double-buffered on BOTH sides (VERDICT r1 #4: the
+    # round-1 demo serialized everything and sat at 301x):
+    #   host thread: the native loader assembles batch k+1
+    #   device: batch k+1 is dispatched before batch k's results are
+    #   fetched (depth-2 async; bounded so the relay never backs up)
     snrs, nbatches = [], 0
     t0 = time.perf_counter()
+    pending = None   # (snr_device_array, n_valid_rows)
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(assemble, plan[0])
         for k in range(len(plan)):
             xj, f0j, nxj = fut.result()
             if k + 1 < len(plan):
                 fut = pool.submit(assemble, plan[k + 1])
-            y, snr, mean_snr = corpus.batched_pipeline(opt, sopt, xj, f0j,
-                                                       nxj)
-            # sync per batch (relay backs up otherwise); scalar fetch
-            snrs.append(float(mean_snr))
+            snr = pipeline_snr(opt, sopt, xj, f0j, nxj)
+            if pending is not None:
+                s, nv = pending
+                snrs.extend(np.asarray(s)[:nv].tolist())
+            pending = (snr, len(plan[k][1]))
             nbatches += 1
+        s, nv = pending
+        snrs.extend(np.asarray(s)[:nv].tolist())
     dt = time.perf_counter() - t0
 
     print(json.dumps({
