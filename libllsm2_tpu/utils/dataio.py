@@ -44,6 +44,15 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32)]
+        try:
+            lib.llsm_load_batch_i16.restype = ctypes.c_int64
+            lib.llsm_load_batch_i16.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32)]
+        except AttributeError:
+            pass   # stale .so without the i16 entry point
         _lib = lib
     except Exception:
         _lib = None
@@ -54,37 +63,46 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def load_wav_batch(paths: Sequence[str], bucket_samples: int
+def load_wav_batch(paths: Sequence[str], bucket_samples: int,
+                   dtype: str = "float32"
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Load WAV files into a zero-padded [len(paths), bucket_samples]
-    float32 batch.  Returns (batch, lengths, sample_rates); rows that fail
-    to parse have length 0.  Uses the native loader when available, scipy
-    otherwise."""
+    batch.  Returns (batch, lengths, sample_rates); rows that fail to
+    parse have length 0.  Uses the native loader when available, scipy
+    otherwise.
+
+    dtype="int16" emits PCM16 rows (scaled by 32767): convert on the
+    accelerator with `x.astype(float32) / 32767` -- halves the
+    host->device transfer bytes of the corpus hot path."""
     B = len(paths)
-    out = np.zeros((B, bucket_samples), np.float32)
+    i16 = dtype == "int16"
+    out = np.zeros((B, bucket_samples), np.int16 if i16 else np.float32)
     lengths = np.zeros((B,), np.int64)
     rates = np.zeros((B,), np.int32)
     lib = _load()
-    if lib is not None:
+    if lib is not None and (not i16 or hasattr(lib, "llsm_load_batch_i16")):
         blob = b"".join(p.encode() + b"\0" for p in paths)
         offsets = np.zeros((B,), np.int64)
         off = 0
         for i, p in enumerate(paths):
             offsets[i] = off
             off += len(p.encode()) + 1
-        lib.llsm_load_batch(
-            blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            B, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            bucket_samples,
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        fn = lib.llsm_load_batch_i16 if i16 else lib.llsm_load_batch
+        ptr_t = ctypes.c_int16 if i16 else ctypes.c_float
+        fn(blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           B, out.ctypes.data_as(ctypes.POINTER(ptr_t)),
+           bucket_samples,
+           lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return out, lengths, rates
     from . import audio
     for i, p in enumerate(paths):
         try:
             x, fs = audio.wavread(p)
             n = min(len(x), bucket_samples)
-            out[i, :n] = x[:n]
+            row = np.clip(x[:n] * 32767.0, -32768, 32767).astype(np.int16) \
+                if i16 else x[:n]
+            out[i, :n] = row
             lengths[i] = n
             rates[i] = int(fs)
         except Exception:

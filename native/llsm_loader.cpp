@@ -133,4 +133,32 @@ int64_t llsm_load_batch(const char* paths, const int64_t* path_offsets,
     return ok;
 }
 
+// Same batch assembly but emitting int16 PCM rows (values scaled by
+// 32767): the accelerator converts to float on-chip, halving the
+// host->device transfer bytes of the corpus hot path.
+int64_t llsm_load_batch_i16(const char* paths, const int64_t* path_offsets,
+                            int64_t batch, int16_t* out,
+                            int64_t bucket_samples, int64_t* lengths,
+                            int32_t* sample_rates) {
+    int64_t ok = 0;
+    std::vector<float> tmp(bucket_samples);
+    for (int64_t i = 0; i < batch; ++i) {
+        int16_t* row = out + i * bucket_samples;
+        std::memset(row, 0, bucket_samples * sizeof(int16_t));
+        int32_t sr = 0;
+        int64_t n = llsm_load_wav(paths + path_offsets[i], tmp.data(),
+                                  bucket_samples, &sr);
+        for (int64_t j = 0; j < n; ++j) {
+            float v = tmp[j] * 32767.0f;
+            if (v > 32767.0f) v = 32767.0f;
+            if (v < -32768.0f) v = -32768.0f;
+            row[j] = static_cast<int16_t>(v);
+        }
+        lengths[i] = n;
+        if (sample_rates) sample_rates[i] = sr;
+        if (n > 0) ++ok;
+    }
+    return ok;
+}
+
 }  // extern "C"

@@ -101,10 +101,11 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
             plan.append((b, [paths[i] for i in idxs[s:s + int(batch)]]))
 
     def assemble(item):
-        """Host side: native batch WAV load + f0 sidecar load + pad."""
+        """Host side: native batch WAV load (int16 PCM: halves the
+        host->device bytes) + f0 sidecar load + pad."""
         b, ps = item
         nsamp = b * nhop
-        x, ln, _ = dataio.load_wav_batch(ps, nsamp)    # [B', nsamp] native
+        x, ln, _ = dataio.load_wav_batch(ps, nsamp, dtype="int16")
         B = int(batch)
         if x.shape[0] < B:                              # pad partial batch
             x = np.pad(x, ((0, B - x.shape[0]), (0, 0)))
@@ -118,10 +119,12 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
                 jnp.asarray(np.minimum(ln, nsamp).astype(np.int32)))
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
-    def pipeline_snr(o, so, xj, f0j, nxj):
-        """snr-only wrapper: the full [B, nx] output y is ~8 MB of
-        per-batch result marshaling over this image's relay; a corpus
-        QA pass only needs the metrics."""
+    def pipeline_snr(o, so, xi16, f0j, nxj):
+        """snr-only wrapper: int16 PCM converts to float ON-CHIP, and the
+        full [B, nx] output y (~8 MB of per-batch result marshaling over
+        this image's relay) is dropped -- a corpus QA pass only needs
+        the metrics."""
+        xj = xi16.astype(jnp.float32) / 32767.0
         y, snr, _ = corpus.batched_pipeline(o, so, xj, f0j, nxj)
         return snr
 

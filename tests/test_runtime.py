@@ -166,6 +166,20 @@ class TestNativeLoader:
             np.testing.assert_allclose(batch[i, :n], r[:n], atol=2e-4)
             np.testing.assert_array_equal(batch[i, n:], 0.0)
 
+    def test_batch_load_int16_matches_float(self, tmp_path):
+        """int16 PCM mode (half the host->device bytes; converted
+        on-chip) must match the float path to quantization accuracy."""
+        from libllsm2_tpu.utils import audio, dataio
+        x, _ = testsig.make_test_utterance(duration=0.12, seed=5)
+        p = str(tmp_path / "q.wav")
+        audio.wavwrite(p, x, 16000.0)
+        bf, lf_, _ = dataio.load_wav_batch([p], 2000)
+        bi, li, _ = dataio.load_wav_batch([p], 2000, dtype="int16")
+        assert bi.dtype == np.int16
+        assert li[0] == lf_[0]
+        np.testing.assert_allclose(bi[0].astype(np.float32) / 32767.0,
+                                   bf[0], atol=1.0 / 32000)
+
     def test_bad_file_row_is_zero(self, tmp_path):
         from libllsm2_tpu.utils import dataio
         bad = str(tmp_path / "bad.wav")
