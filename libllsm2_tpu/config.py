@@ -100,6 +100,14 @@ class AnalysisOptions:
                                  # pass like the reference, 2 adds ~7 dB
                                  # round-trip SNR under F0 modulation)
     f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
+    f0_refine_smooth: int = 9    # frames (odd): apply only the MOVING-AVERAGE
+                                 # of the refine correction.  The phase-slope
+                                 # estimate is inherently smoothed over its
+                                 # ~4-period window, so its frame-to-frame
+                                 # detail is estimation noise, while the
+                                 # supplied track's detail (e.g. jitter) is
+                                 # usually real -- raw refine cost 15 dB on
+                                 # jittered male fixtures (round 2).  0 = raw.
     use_pallas: bool = False     # lower the harmonic projection to Pallas
     frame_chunk: int = 0         # >0: chunk the projection over frames
                                  # (bounds peak HBM; needed for very large

@@ -118,10 +118,23 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
 
     if opt.f0_refine:
-        f0 = harmonics.refine_f0(
+        f0_ref = harmonics.refine_f0(
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
             rel_winsize=conf.rel_winsize, use_pallas=opt.use_pallas,
             nhop=nhop)
+        S = opt.f0_refine_smooth
+        if S > 1:
+            # voicing-masked moving average of the refine CORRECTION:
+            # keeps the track's own frame-rate detail (jitter), removes
+            # the estimator's (see config.AnalysisOptions.f0_refine_smooth)
+            voiced_m = (f0 > 0).astype(jnp.float32)
+            delta = (f0_ref - f0) * voiced_m
+            k = jnp.ones((S,), jnp.float32)
+            num = jnp.convolve(delta, k, mode="same")
+            den = jnp.maximum(jnp.convolve(voiced_m, k, mode="same"), 1.0)
+            f0 = jnp.where(voiced_m > 0, f0 + num / den, 0.0)
+        else:
+            f0 = f0_ref
 
     # sample-level fundamental cycle track: shared chirped basis for
     # analysis and synthesis (see ops.harmonics.sample_cycles)

@@ -10,10 +10,11 @@ Threshold notes (measured on this implementation, ~3 dB margin):
 - With breath noise at level 0.05 the estimation floor is ~27-33 dB:
   noise energy landing exactly on harmonic frequencies is attributed to
   the harmonics -- no estimator can separate them within one frame.
-- 1% random-walk JITTER at the male register costs ~15 dB against this
-  fixture because f0_refine estimates the (smoothed) instantaneous F0
-  while the fixture's phase follows the exact jittered frame track;
-  phases re-lock at every frame center, mid-frame drift at k~80 remains.
+- 1% random-walk JITTER at the male register cost ~15 dB in round 2's
+  first cut because raw f0_refine replaced the exact jittered track with
+  its (inherently ~4-period-smoothed) estimate; applying only the
+  moving-averaged refine correction (AnalysisOptions.f0_refine_smooth)
+  recovers it (male noiseless stressed: 33.5 -> 44.3 dB).
 - LSD uses smooth_bins=16: raw per-bin LSD between two different noise
   REALIZATIONS has an irreducible ~10 dB floor (chi-square bin
   variance).
@@ -67,7 +68,7 @@ class TestHardRegisters:
         x, f0, xh, ysin, y = _roundtrip(reg, noise_level=0.0)
         lo, hi = _core(f0)
         snr = metrics.snr_db(xh[lo:hi], ysin[lo:hi], trim=0.0)
-        floor = 30.0 if reg == "male" else 42.0   # jitter x refine, see hdr
+        floor = 40.0 if reg == "male" else 48.0
         assert snr > floor, (reg, snr)
 
     def test_no_jitter_above_45db(self, reg):
