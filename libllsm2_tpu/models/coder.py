@@ -102,7 +102,11 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
         edc=sl["edc"],
         eenv_a=sl["eenv_a"].reshape(n, c.nchannel, c.maxnhar_e),
         eenv_p=jnp.zeros((n, c.nchannel, c.maxnhar_e), jnp.float32),
-        rd=sl["rd"][:, 0], vtmagn=vtmagn, vsphse=zk, conf=c)
+        # vectors may come from ML models (the coder's whole purpose):
+        # clamp Rd into the LF table's valid range -- log(rd<=0) would
+        # NaN the entire decoded chunk
+        rd=jnp.clip(sl["rd"][:, 0], layer1.RD_MIN, layer1.RD_MAX),
+        vtmagn=vtmagn, vsphse=zk, conf=c)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -179,9 +179,11 @@ def fit_rd(log_ampl: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _source_at_harmonics(rd: jnp.ndarray, max_k: int):
-    """Interpolate the precomputed Rd tables at per-frame rd values.
-    Returns (logmag [N, K], phase [N, K])."""
+    """Interpolate the precomputed Rd tables at per-frame rd values
+    (clamped into the grid: rd <= 0 from an upstream ML model must not
+    NaN the log).  Returns (logmag [N, K], phase [N, K])."""
     grid, src_logmag, src_phase = _source_tables(max_k)
+    rd = jnp.clip(rd, RD_MIN, RD_MAX)
     pos = (jnp.log(rd) - jnp.log(grid[0])) / (
         jnp.log(grid[-1]) - jnp.log(grid[0])) * (RD_GRID_SIZE - 1)
     pos = jnp.clip(pos, 0.0, RD_GRID_SIZE - 1.0)

@@ -154,7 +154,44 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
                 rel_winsize=conf.rel_winsize)[0]
         return jnp.sum(jax.vmap(one)(x + eps, f0))
 
+    def ana_norefine(eps):
+        o2 = dataclasses.replace(opt, f0_refine=False)
+        c = jax.vmap(lambda a, b: layer0._analyze_jit.__wrapped__(o2, a, b))(
+            x + eps, f0)
+        return jnp.sum(c.ampl[:, 0, 0])
+
+    def ana_1pass(eps):
+        o2 = dataclasses.replace(opt, hm_passes=1)
+        c = jax.vmap(lambda a, b: layer0._analyze_jit.__wrapped__(o2, a, b))(
+            x + eps, f0)
+        return jnp.sum(c.ampl[:, 0, 0])
+
+    def envchan(eps):
+        conf_ = opt.conf
+
+        def one(xx, ff):
+            cy = harmonics.sample_cycles(ff, nhop, conf_.fs, nx)
+            ea, ep, _ = harmonics.harmonic_analysis(
+                xx, ff, centers, cy, fs=conf_.fs, max_k=conf_.maxnhar_e,
+                halfwin_max=conf_.halfwin_max,
+                rel_winsize=conf_.rel_winsize, fnyq=conf_.fnyq,
+                use_pallas=True, nhop=nhop)
+            return ea[0, 0]
+        return jnp.sum(jax.vmap(one)(x + eps, f0))
+
+    def bandenv(eps):
+        conf_ = opt.conf
+
+        def one(xx):
+            envs = layer0._band_envelopes(xx, conf_)
+            psd = layer0._warped_psd(xx, centers, conf_)
+            return envs[0, 0] + psd[0, 0]
+        return jnp.sum(jax.vmap(one)(x + eps))
+
     for name, fn in [("pipeline", pipe), ("analysis", ana),
+                     ("ana_norefine", ana_norefine),
+                     ("ana_1pass", ana_1pass), ("envchan", envchan),
+                     ("bandenv", bandenv),
                      ("synthesis", syn), ("proj1", proj),
                      ("refine", refine), ("cyc", cyc_fn), ("osc", osc),
                      ("noise", noise), ("env", env)]:
@@ -168,7 +205,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
     audio = batch * duration
     summary = {"batch": batch, "duration": duration, "repeats": R,
                "floor_s": floor}
-    for name in ["pipeline", "analysis", "synthesis", "proj1", "refine",
+    for name in ["pipeline", "analysis", "ana_norefine", "ana_1pass",
+                 "envchan", "bandenv", "synthesis", "proj1", "refine",
                  "cyc", "osc", "noise", "env"]:
         w = results.get(name + "_wall_s")
         if w is None:

@@ -47,9 +47,13 @@ def test_harmonic_project_matches_jnp():
 
 
 def test_full_pipeline_pallas_flag():
-    """analyze+synthesize with use_pallas=True matches the jnp path."""
+    """analyze+synthesize with use_pallas=True matches the jnp path.
+
+    f0_refine is disabled for the strict amplitude equality: the Pallas
+    path measures the fundamental on a lowpass-decimated grid (same
+    estimator, slightly different numerics -- see refine test below)."""
     x, f0 = testsig.make_test_utterance(duration=0.4)
-    opt_ref = create_aoptions()
+    opt_ref = dataclasses.replace(create_aoptions(), f0_refine=False)
     opt_pl = dataclasses.replace(opt_ref, use_pallas=True)
     ch_ref = layer0.analyze(opt_ref, x, f0)
     ch_pl = layer0.analyze(opt_pl, x, f0)
@@ -104,7 +108,7 @@ def test_pallas_pipeline_with_unvoiced_tail():
     match the jnp reference (they are masked in both)."""
     x, f0 = testsig.make_test_utterance(duration=0.5,
                                         unvoiced_tail_frac=0.3)
-    opt_ref = create_aoptions()
+    opt_ref = dataclasses.replace(create_aoptions(), f0_refine=False)
     opt_pl = dataclasses.replace(opt_ref, use_pallas=True)
     ch_ref = layer0.analyze(opt_ref, x, f0)
     ch_pl = layer0.analyze(opt_pl, x, f0)
@@ -112,6 +116,31 @@ def test_pallas_pipeline_with_unvoiced_tail():
                                np.asarray(ch_ref.ampl), atol=1e-3)
     np.testing.assert_allclose(np.asarray(ch_pl.f0),
                                np.asarray(ch_ref.f0), rtol=1e-4)
+
+
+def test_refine_decimated_matches_full_rate():
+    """The Pallas path's lowpass-decimated F0 refine is the same
+    estimator at 1/4 the sample density: it must agree with the full-
+    rate jnp refine to a fraction of a Hz on typical voiced frames."""
+    import jax.numpy as jnp
+    from libllsm2_tpu import create_aoptions
+
+    conf = create_aoptions().conf
+    x, f0 = testsig.make_test_utterance(duration=0.6)
+    nhop, nfrm = conf.nhop, len(f0)
+    xj = jnp.asarray(x[:nfrm * nhop], jnp.float32)
+    f0j = jnp.asarray(f0, jnp.float32)
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+    kw = dict(fs=conf.fs, halfwin_max=conf.halfwin_max,
+              rel_winsize=conf.rel_winsize)
+    r_full = np.asarray(harmonics.refine_f0(xj, f0j, centers, **kw))
+    r_dec = np.asarray(harmonics.refine_f0(xj, f0j, centers,
+                                           use_pallas=True, nhop=nhop,
+                                           **kw))
+    v = np.asarray(f0) > 0
+    d = np.abs(r_dec - r_full)[v]
+    assert np.median(d) < 0.2, np.median(d)
+    assert np.percentile(d, 95) < 1.0, np.percentile(d, 95)
 
 
 def test_pallas_frame_chunk_matches_unchunked():
