@@ -141,7 +141,9 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
                          endpoint=False)
     basis = jnp.exp(-1j * jnp.arange(1, KF + 1, dtype=jnp.float32)
                     [None, :] * theta[:, None])             # [T, KF]
-    score = jnp.max(jnp.abs(jnp.einsum("ngk,tk->ngt", c, basis)), axis=-1)
+    score = jnp.max(jnp.abs(jnp.einsum(
+        "ngk,tk->ngt", c, basis,
+        precision=jax.lax.Precision.HIGHEST)), axis=-1)
     g = jnp.argmax(score, axis=-1)
     gf, _ = spectral.qifft(score, g)
     log_rd = jnp.interp(gf, jnp.arange(RD_GRID_SIZE, dtype=jnp.float32),

@@ -413,11 +413,15 @@ def oscillator_bank(
     if use_pallas:
         from .pallas_osc import osc_bank_pallas
         # gather-free framing (centers are uniform at i*nhop in every
-        # call site; see frame_hops) + live-harmonic loop bound: mask is
-        # 1 for k < kl, 0 beyond (voiced & below-fnyq)
+        # call site; see frame_hops) + live-harmonic loop bound.  kl is
+        # the HIGHEST live slot + 1, not the mask sum: edited chunks may
+        # notch interior harmonics (hm_mask = [1,1,0,1,...]) and a sum
+        # would truncate the loop below real content
         dc_all = frame_hops(cyc, N, nhop, 1, mode="edge") \
             - cyc[centers][:, None]
-        kl = jnp.sum(mask > 0, axis=-1).astype(jnp.int32)
+        kslots = jnp.arange(1, K + 1, dtype=jnp.float32)
+        kl = jnp.max(kslots[None, :] * (mask > 0),
+                     axis=-1).astype(jnp.int32)
         segs = osc_bank_pallas(dc_all, ampl, phse, mask, kl=kl)
         return segs * w_ola[None, :]
 

@@ -55,32 +55,42 @@ def _apply_kernel(x: jnp.ndarray, n0: jnp.ndarray, w: jnp.ndarray,
     return jnp.sum(xp[idx] * w, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "taps", "beta", "ny"))
+def _best_rational(ratio: float, qmax: int) -> tuple:
+    """Best rational approximation p/q of ratio with p, q <= qmax
+    (continued-fraction convergents).  With qmax ~ 4.6e4 the relative
+    error is <= 1/(q*qmax) ~ 5e-10 -- far below any audible pitch
+    deviation -- and p*q stays below 2**31 for exact int32 position
+    arithmetic."""
+    from fractions import Fraction
+    fr = Fraction(ratio).limit_denominator(qmax)
+    p, q = fr.numerator, fr.denominator
+    if p > qmax:  # ratio > 1: bound the numerator instead
+        fr = Fraction(1.0 / ratio).limit_denominator(qmax)
+        p, q = fr.denominator, fr.numerator
+        if p > qmax:
+            p, q = qmax, max(1, int(round(qmax / ratio)))
+    return max(p, 1), max(q, 1)
+
+
 def sincresample(x: jnp.ndarray, ratio: float, taps: int = 32,
                  beta: float = 8.0, ny: int | None = None) -> jnp.ndarray:
     """Resample x by an arbitrary real ratio = fs_out / fs_in.
 
     Returns y with round(nx * ratio) samples (or ny if given).
     Reference: ciglet.h -> sincresample(x, nx, ratio, &ny).
+
+    Positions are computed by EXACT integer arithmetic on the best
+    rational approximation of the ratio (denominators bounded so int32
+    never overflows): a float32 m*step product decays linearly with the
+    output index (measured: 77 dB at 2 s -> 40 dB at 2 min), whereas the
+    rational quantization only perturbs the ratio by ~5e-10 -- a
+    constant, inaudible pitch offset with NO drift or noise.
     """
     nx = x.shape[-1]
     if ny is None:
         ny = int(round(nx * ratio))
-    step = 1.0 / ratio
-    m = jnp.arange(ny, dtype=jnp.float32)
-    # compensated position: integer and fractional parts tracked separately
-    # (m * step in one float32 multiply drifts for long signals)
-    step_i = math.floor(step)
-    step_f = step - step_i                      # in [0, 1)
-    pos_i = jnp.arange(ny) * step_i
-    pos_f = m * jnp.float32(step_f)
-    carry = jnp.floor(pos_f).astype(jnp.int32)
-    n_int = pos_i.astype(jnp.int32) + carry
-    frac = pos_f - carry.astype(jnp.float32)
-    cutoff = min(1.0, ratio) * 0.945
-    w = _kaiser_sinc_weights(frac, taps, cutoff, beta)
-    n0 = n_int - taps // 2 + 1
-    return _apply_kernel(x, n0, w, taps)
+    p, q = _best_rational(float(ratio), 46000)
+    return rresample(x, p, q, taps=taps, beta=beta, ny=ny)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "q", "taps", "beta", "ny"))
@@ -96,12 +106,27 @@ def rresample(x: jnp.ndarray, p: int, q: int, taps: int = 32,
     nx = x.shape[-1]
     if ny is None:
         ny = (nx * p) // q
-    m = jnp.arange(ny)
-    # m*q/p without overflow: m = a*p + r -> pos = a*q + (r*q)/p
-    a, r = m // p, m % p
-    num = r * q                                  # < p*q, safe in int32
-    n_int = a * q + num // p
-    frac = (num % p).astype(jnp.float32) / p
+    d = q - p
+    if p * q < 2 ** 31:
+        # m*q/p without overflow: m = a*p + r -> pos = a*q + (r*q)/p
+        m = jnp.arange(ny)
+        a, r = m // p, m % p
+        num = r * q                              # < p*q < 2^31
+        n_int = a * q + num // p
+        frac = (num % p).astype(jnp.float32) / p
+    elif abs(d) * max(ny, 1) < 2 ** 31:
+        # large coprime near-unity pair (e.g. 48000/48001): pos =
+        # m*q/p = m + m*(q-p)/p stays exact in int32
+        m = jnp.arange(ny)
+        md = m * d
+        n_int = m + md // p                      # floor division
+        frac = (md - (md // p) * p).astype(jnp.float32) / p
+    else:
+        # exact arithmetic impossible in int32: re-approximate with
+        # bounded denominators -- a constant ~1e-8-relative ratio
+        # offset, no drift or noise
+        p, q = _best_rational(p / q, 46000)
+        return rresample(x, p, q, taps=taps, beta=beta, ny=ny)
     cutoff = min(1.0, p / q) * 0.945
     w = _kaiser_sinc_weights(frac, taps, cutoff, beta)
     n0 = n_int - taps // 2 + 1

@@ -229,12 +229,18 @@ class RTSynthesizer:
         onsets = self._pulse_onsets(f0c)
         if not onsets:
             return
+        # static per-hop pulse budget (distinct P values would each be a
+        # fresh tunnel-slow compile)
         P = len(onsets)
-        fracs = np.asarray([fr for _, fr in onsets], np.float32)
+        Pmax = int(self.conf.f0_ceil * nhop / self.conf.fs) + 2
+        fracs = np.zeros((Pmax,), np.float32)
+        valid = np.zeros((Pmax,), np.float32)
+        fracs[:P] = [fr for _, fr in onsets]
+        valid[:P] = 1.0
         pulses = np.asarray(_render_pulses(
             self.conf, jnp.asarray(cur["vtmagn"], jnp.float32),
             jnp.float32(cur.get("rd", 1.0)), jnp.float32(f0c),
-            jnp.asarray(fracs), jnp.ones(P, jnp.float32)))
+            jnp.asarray(fracs), jnp.asarray(valid)))
         self.dispatches += 1
         for p, (oi, _) in enumerate(onsets):
             self.ring.add(pulses[p], i * nhop + oi)
@@ -344,15 +350,23 @@ class RTSynthesizer:
                 jnp.asarray(noise), jnp.asarray(voiced)))
             self.dispatches += 1
             if pulse_jobs:
+                # pad the pulse batch to a STATIC budget: the pulse count
+                # varies per block with F0, and every distinct shape
+                # would be a fresh (tunnel-slow) compile
                 P = len(pulse_jobs)
-                vt = jnp.asarray(np.stack([p[3] for p in pulse_jobs])
-                                 .astype(np.float32))
+                Pmax = self._pulse_budget()
+                assert P <= Pmax, (P, Pmax)
+                vt = np.zeros((Pmax, conf.nspec), np.float32)
+                rdv = np.ones((Pmax,), np.float32)
+                f0v = np.full((Pmax,), 100.0, np.float32)
+                frv = np.zeros((Pmax,), np.float32)
+                val = np.zeros((Pmax,), np.float32)
+                for j, pj in enumerate(pulse_jobs):
+                    vt[j] = pj[3]
+                    rdv[j], f0v[j], frv[j], val[j] = pj[4], pj[5], pj[2], 1.0
                 pulses = np.asarray(_render_pulses_multi(
-                    conf, vt,
-                    jnp.asarray([p[4] for p in pulse_jobs], jnp.float32),
-                    jnp.asarray([p[5] for p in pulse_jobs], jnp.float32),
-                    jnp.asarray([p[2] for p in pulse_jobs], jnp.float32),
-                    jnp.ones(P, jnp.float32)))
+                    conf, jnp.asarray(vt), jnp.asarray(rdv),
+                    jnp.asarray(f0v), jnp.asarray(frv), jnp.asarray(val)))
                 self.dispatches += 1
             for j in range(M):
                 i = self._i
@@ -370,6 +384,12 @@ class RTSynthesizer:
             # trailing half-window still receives the next frame's overlap
             # (matches the per-frame path's advance(i*nhop))
             self.ring.advance((self._i - 1) * nhop)
+
+    def _pulse_budget(self) -> int:
+        """Static per-block pulse capacity: f0_ceil cycles over
+        feed_block hops, plus slack."""
+        return int(self.conf.f0_ceil * self.feed_block * self.nhop
+                   / self.conf.fs) + 2
 
     def _pulse_onsets(self, f0c: float):
         """Advance the pulse-cycle accumulator over one hop; return the

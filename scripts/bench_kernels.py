@@ -60,11 +60,13 @@ def main(repeats=8, iters=3, N=1600, W=915, K=80, B=8):
 
     timed("floor", lambda eps: eps * 2.0)
 
+    loj = jnp.zeros_like(awj)
+
     def proj(eps, use_aw, wb):
         def one(d, x):
             re, im = pallas_osc.harmonic_project_pallas(
-                d + eps, x, K, aw=awj[0] if use_aw else None,
-                kl=None, wblock=wb)
+                d + eps, x, K, lo=loj[0] if use_aw else None,
+                hi=awj[0] if use_aw else None, wblock=wb)
             return jnp.sum(re[:, 0])
         return jnp.sum(jax.vmap(one)(dc, xw))
 

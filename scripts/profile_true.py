@@ -151,7 +151,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
         def one(xx, ff):
             return harmonics.refine_f0(
                 xx, ff, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
-                rel_winsize=conf.rel_winsize)[0]
+                rel_winsize=conf.rel_winsize, use_pallas=True,
+                nhop=nhop)[0]
         return jnp.sum(jax.vmap(one)(x + eps, f0))
 
     def ana_norefine(eps):

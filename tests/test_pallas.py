@@ -153,3 +153,22 @@ def test_pallas_frame_chunk_matches_unchunked():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(ch1.phse), np.asarray(ch0.phse),
                                atol=1e-3)
+
+
+def test_osc_bank_interior_mask_notch():
+    """kl must bound by the HIGHEST live harmonic: an edited chunk can
+    notch interior harmonics and the top one must still render."""
+    cyc = jnp.asarray(np.linspace(0, 50.0, 800) % 1.0, jnp.float32)
+    centers = jnp.arange(10, dtype=jnp.int32) * 80
+    N, K = 10, 12
+    ampl = jnp.ones((N, K), jnp.float32)
+    phse = jnp.zeros((N, K), jnp.float32)
+    mask = np.ones((N, K), np.float32)
+    mask[:, 4] = 0.0                      # interior notch
+    mask[:, 9:] = 0.0                     # top live slot = 8 (harmonic 9)
+    mask = jnp.asarray(mask)
+    s_pl = np.asarray(harmonics.oscillator_bank(
+        cyc, centers, ampl, phse, mask, nhop=80, use_pallas=True))
+    s_ref = np.asarray(harmonics.oscillator_bank(
+        cyc, centers, ampl, phse, mask, nhop=80, use_pallas=False))
+    np.testing.assert_allclose(s_pl, s_ref, atol=2e-4)

@@ -106,3 +106,43 @@ class TestArbitraryRateAnalysis:
         y, fs_out = audio.wavread(wav_out)
         assert fs_out == fs
         assert abs(len(y) - len(x)) < 0.01 * fs
+
+
+class TestLongSignalPrecision:
+    def test_sincresample_no_decay_on_long_signal(self):
+        """Positions use exact rational arithmetic: local SNR against the
+        resampler's TRUE rational rate must not decay with time (the old
+        float32 m*step product decayed 77 dB -> 40 dB by two minutes).
+        The ratio itself is quantized to ~1e-8 relative -- a constant,
+        inaudible pitch offset, asserted separately."""
+        fs = 16000
+        dur = 120.0
+        t = np.arange(int(fs * dur)) / fs
+        x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+        r = 2.0 / np.pi
+        p, q = resample._best_rational(r, 46000)
+        assert abs(p / q - r) / r < 2e-8
+        y = np.asarray(resample.sincresample(jnp.asarray(x), float(r)))
+        fs2 = fs * p / q              # the true output rate
+
+        def snr_at(t0):
+            n0 = int(t0 * fs2)
+            tt = np.arange(n0, n0 + 8000) / fs2
+            ref = np.sin(2 * np.pi * 1000 * tt)
+            e = y[n0:n0 + 8000] - ref
+            return 10 * np.log10(np.sum(ref ** 2) / np.sum(e ** 2))
+
+        early, late = snr_at(2.0), snr_at(dur - 4.0)
+        assert late > 80.0, (early, late)
+        assert abs(early - late) < 3.0, (early, late)
+
+    def test_rresample_large_coprime_rates(self):
+        """48000<->48001-style coprime pairs would overflow int32 r*q;
+        they must be re-approximated, not silently corrupted."""
+        fs = 48001.0
+        t = np.arange(24000) / fs
+        x = np.sin(2 * np.pi * 800 * t).astype(np.float32)
+        y = np.asarray(resample.resample_to(x, 48001.0, 48000.0))
+        ty = np.arange(len(y)) / 48000.0
+        ref = np.sin(2 * np.pi * 800 * ty)
+        assert _snr(ref, y) > 60.0
