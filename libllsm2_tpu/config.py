@@ -112,6 +112,18 @@ class AnalysisOptions:
     frame_chunk: int = 0         # >0: chunk the projection over frames
                                  # (bounds peak HBM; needed for very large
                                  # batch x duration products)
+    env_decimate: int = 4        # band-envelope analysis decimation D:
+                                 # each noise channel's analytic envelope
+                                 # is complex-demodulated to fs/D (exact
+                                 # when the band fits one alias window --
+                                 # see layer0._band_envelopes), shrinking
+                                 # the envelope projections and FFTs by D.
+                                 # Envelope harmonics are masked to
+                                 # k*f0 < 0.4*fs/D (only affects extreme
+                                 # F0 > 0.1*fs/D voices).  1 = full rate.
+                                 # Falls back to 1 when a channel straddles
+                                 # an alias boundary or D does not divide
+                                 # the hop.
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
 

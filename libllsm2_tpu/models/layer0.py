@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import AnalysisOptions, ChunkConf, SynthesisOptions
 from ..container import Chunk
-from ..ops import harmonics, interp, spectral, warp, windows
+from ..ops import harmonics, interp, spectral, warp
 
 
 class SynthResult(NamedTuple):
@@ -43,36 +43,67 @@ class SynthResult(NamedTuple):
 # analysis
 # ---------------------------------------------------------------------------
 
-def _band_envelopes(residual: jnp.ndarray, conf: ChunkConf) -> jnp.ndarray:
+def _env_decimation(conf: ChunkConf, requested: int) -> int:
+    """Largest valid envelope decimation <= requested (see
+    AnalysisOptions.env_decimate): D must divide the hop and every noise
+    channel's band must fit inside one alias window [m*fs/D, (m+1)*fs/D)
+    so the complex-demodulated decimation is exact."""
+    edges = conf.chan_edges
+    D = max(int(requested), 1)
+    while D > 1:
+        fs_d = conf.fs / D
+        ok = conf.nhop % D == 0
+        for c in range(conf.nchannel):
+            lo, hi = edges[c], edges[c + 1]
+            if int(lo // fs_d) != int(max(hi - 1e-6, lo) // fs_d):
+                ok = False
+        if ok:
+            return D
+        D //= 2
+    return 1
+
+
+def _band_envelopes(residual: jnp.ndarray, conf: ChunkConf,
+                    decimate: int = 1) -> jnp.ndarray:
     """Per-channel temporal amplitude envelopes of the residual via the
     FFT-domain analytic signal (reference: layer0.c noise pass -- bandpass +
     envelope; we use one full-signal FFT and per-band one-sided masks).
-    Returns [nchannel, nx]."""
+    Returns [nchannel, nx // decimate].
+
+    decimate D > 1 (validated by _env_decimation): each band's one-sided
+    spectrum is folded into an nfft/D grid and inverted with a small ifft.
+    Because the whole band lies in one alias window, the fold is a coherent
+    frequency SHIFT of the analytic signal -- |z| (the envelope) is exactly
+    the full-rate envelope sampled every D samples; no lowpass needed.
+    Cuts both the inverse-FFT cost (D^2 per ifft) and every downstream
+    envelope-projection buffer by D (the pipeline is HBM-bound; see
+    scripts/cost_analysis.py)."""
     nx = residual.shape[-1]
     nfft = spectral.next_pow2(nx)
     X = jnp.fft.fft(residual, n=nfft)
-    f = jnp.fft.fftfreq(nfft, 1.0 / conf.fs)
     edges = conf.chan_edges
     envs = []
+    if decimate == 1:
+        f = jnp.fft.fftfreq(nfft, 1.0 / conf.fs)
+        for c in range(conf.nchannel):
+            lo, hi = edges[c], edges[c + 1]
+            m = ((f >= lo) & (f < hi)).astype(jnp.float32)
+            analytic = jnp.fft.ifft(X * m * 2.0)
+            envs.append(jnp.abs(analytic)[:nx])
+        return jnp.stack(envs, axis=0)
+    D = decimate
+    nfft_d = nfft // D
     for c in range(conf.nchannel):
         lo, hi = edges[c], edges[c + 1]
-        m = ((f >= lo) & (f < hi)).astype(jnp.float32)  # positive freqs only
-        analytic = jnp.fft.ifft(X * m * 2.0)
-        envs.append(jnp.abs(analytic)[:nx])
+        b_lo = int(-(-lo * nfft // conf.fs))          # ceil: first bin >= lo
+        b_hi = int(-(-hi * nfft // conf.fs))          # first bin >= hi
+        b_hi = min(b_hi, nfft // 2 + 1)
+        shift = (b_lo // nfft_d) * nfft_d
+        y = jnp.zeros(residual.shape[:-1] + (nfft_d,), X.dtype)
+        y = y.at[..., b_lo - shift:b_hi - shift].set(X[..., b_lo:b_hi])
+        z = jnp.fft.ifft(2.0 * y) * (1.0 / D)
+        envs.append(jnp.abs(z)[..., :nx // D])
     return jnp.stack(envs, axis=0)
-
-
-def _windowed_dc(x: jnp.ndarray, centers: jnp.ndarray, halfwidth: jnp.ndarray,
-                 halfwin_max: int, window: str = "hanning") -> jnp.ndarray:
-    """Windowed mean of x around each center (pitch-synchronous window)."""
-    H = halfwin_max
-    W = 2 * H + 1
-    xp = jnp.pad(x, (H, H + 1))
-    idx = centers[:, None] + jnp.arange(W)[None, :]
-    frames = xp[idx]
-    n_off = jnp.arange(W, dtype=jnp.float32) - H
-    w = windows.window_centered(window, n_off[None, :], halfwidth[:, None])
-    return jnp.sum(frames * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
 
 
 def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
@@ -82,7 +113,11 @@ def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
     nhop = conf.nhop
     winlen = 4 * nhop
     nfft = spectral.next_pow2(winlen)
-    frames = interp.fetch_frames(residual, centers, winlen // 2)[:, :winlen]
+    # gather-free framing: centers are uniform (i*nhop) and the window is
+    # exactly 4 hops, so hop-block slices replace the [N, winlen] gather
+    # (measured ~25x slice-vs-gather gap on v5e; docs/STATUS.md)
+    nfrm = centers.shape[0]
+    frames = harmonics.frame_hops(residual, nfrm, nhop, 2)
     w = jnp.hanning(winlen).astype(jnp.float32)
     pgram = spectral.periodogram(frames, w, nfft)           # [N, nfft//2+1]
     band_mat = warp.warped_band_matrix(conf.npsd, nfft // 2 + 1, conf.fs,
@@ -181,18 +216,27 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 
     # --- noise pass: band envelopes + warped PSD ---
     with jax.named_scope("llsm.analyze.noise"):
-        envs = _band_envelopes(residual, conf)              # [C, nx]
-        f0s = jnp.where(f0 > 0, f0, 100.0)
-        halfwidth = jnp.clip(conf.rel_winsize * conf.fs / (2.0 * f0s), 2.0,
-                             float(conf.halfwin_max))
+        # envelope analysis runs at the decimated rate fs/D: the analytic
+        # band envelopes are exactly representable there (complex
+        # demodulation; _band_envelopes) and every projection buffer
+        # shrinks by D -- the envelope pass was the largest HBM consumer
+        # of the whole analysis (scripts/cost_analysis.py, round 2)
+        D = _env_decimation(conf, opt.env_decimate)
+        envs = _band_envelopes(residual, conf, D)           # [C, nx/D]
+        fs_d = conf.fs / D
+        nhop_d = nhop // D
+        centers_d = jnp.arange(nfrm, dtype=jnp.int32) * nhop_d
+        cyc_d = cyc[::D]
+        H_d = -(-conf.halfwin_max // D)
 
         def env_chan(env_c):
-            edc = _windowed_dc(env_c, centers, halfwidth, conf.halfwin_max)
-            ea, ep, _ = harmonics.harmonic_analysis(
-                env_c, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar_e,
-                halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk, nhop=nhop)
+            # the windowed DC rides the same projection (k=0 row) --
+            # replaces the former gather-based _windowed_dc pass
+            ea, ep, _, edc = harmonics.harmonic_analysis(
+                env_c, f0, centers_d, cyc_d, fs=fs_d, max_k=conf.maxnhar_e,
+                halfwin_max=H_d, rel_winsize=conf.rel_winsize,
+                fnyq=min(conf.fnyq, 0.4 * fs_d), use_pallas=opt.use_pallas,
+                frame_chunk=opt.frame_chunk, nhop=nhop_d, with_dc=True)
             return edc, ea, ep
 
         edc, eenv_a, eenv_p = jax.vmap(env_chan)(envs)      # [C,N], [C,N,Ke]
@@ -210,7 +254,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # synthesis
 # ---------------------------------------------------------------------------
 
-def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
+def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
+                      use_pallas: bool = False):
     """Reconstruct per-channel temporal envelopes and their DC baseline
     from edc + eenv harmonics (reference: layer0.c noise synthesis --
     envelope reconstruction).  Returns (env [C, nx], base [C, nx]).
@@ -225,6 +270,10 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
     voiced = (chunk.f0 > 0).astype(jnp.float32)
     ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
     ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
+
+    if use_pallas and nx == N * nhop:
+        from ..ops.pallas_osc import env_render_pallas
+        return env_render_pallas(cyc, chunk.edc, ar, ai)
 
     # frame-structured lerp: every sample of frame i interpolates between
     # frames i and i+1, so the "gather" is a broadcast over a [N, nhop]
@@ -262,7 +311,7 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int):
 
 
 def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
-                 nhop: int) -> jnp.ndarray:
+                 nhop: int, use_pallas: bool = False) -> jnp.ndarray:
     """Stochastic noise component: WOLA-filtered white noise shaped by the
     warped PSD, band-split, then modulated by the reconstructed temporal
     envelopes (reference: layer0.c noise synthesis path).  Renders at the
@@ -319,7 +368,8 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
         jnp.sqrt(float(T)))
     spec = (re + 1j * im) * scale[None, :]                      # [N, nbin]
     edges = conf.chan_edges
-    env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
+    env, base = _render_envelopes(chunk, cyc, centers, nx, nhop,
+                                  use_pallas=use_pallas)          # [C, nx]
 
     shaped_spec = spec * gain                                   # [N, nbin]
     masks = jnp.stack([
@@ -403,7 +453,8 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
 
     with jax.named_scope("llsm.synth.noise"):
         key = jax.random.PRNGKey(opt.noise_seed)
-        y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop)
+        y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop,
+                             use_pallas=opt.use_pallas)
 
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)
 

@@ -51,7 +51,18 @@ def sample_cycles(f0: jnp.ndarray, nhop: int, fs: float, nx: int) -> jnp.ndarray
     t = jnp.clip(pos - i0, 0.0, 1.0)
     f0_samp = f0s[i0] * (1.0 - t) + f0s[i0 + 1] * t
     d = f0_samp / fs
-    c = jax.lax.associative_scan(lambda a, b: (a + b) % 1.0, d)
+    if nx % nhop == 0:
+        # two-level prefix sum: a plain cumsum within each hop block
+        # (bounded magnitude: nhop*f0_max/fs = a few cycles, exact in f32)
+        # plus a tiny mod-1 scan over the per-hop totals -- ~3 memory
+        # passes instead of the log2(nx) passes of the flat scan
+        within = jnp.cumsum(d.reshape(-1, nhop), axis=1)
+        tot = within[:, -1] % 1.0
+        off = jax.lax.associative_scan(lambda a, b: (a + b) % 1.0, tot)
+        off = jnp.concatenate([jnp.zeros((1,), off.dtype), off[:-1]])
+        c = ((off[:, None] + within) % 1.0).reshape(-1)
+    else:
+        c = jax.lax.associative_scan(lambda a, b: (a + b) % 1.0, d)
     return jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
 
 
@@ -101,7 +112,8 @@ def harmonic_analysis(
     use_pallas: bool = False,
     frame_chunk: int = 0,
     nhop: int | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_dc: bool = False,
+):
     """Estimate harmonic amplitudes/phases for every frame.
 
     nhop (Pallas path): when the centers are uniform (centers[i] ==
@@ -126,9 +138,14 @@ def harmonic_analysis(
       centers: [N] integer frame centers in samples.
       cyc: [nx] mod-1 cycle track from sample_cycles.
       max_k: number of harmonics (slot k = harmonic (k+1)*f0).
+      with_dc: additionally return the windowed DC (the k=0 projection,
+          sum(w*x)/sum(w)) measured with the full pitch-synchronous
+          window on every frame (unvoiced frames use the f0=100 Hz
+          placeholder width) -- used by the noise-envelope analysis.
     Returns:
       ampl [N, max_k], phse [N, max_k] (phase at the frame center),
-      mask [N, max_k] (1 where the harmonic exists: voiced and below fnyq).
+      mask [N, max_k] (1 where the harmonic exists: voiced and below fnyq),
+      [dc [N] if with_dc].
     """
     H = halfwin_max
     W = 2 * H + 1
@@ -142,9 +159,10 @@ def harmonic_analysis(
 
     # data-adaptive work bounds for the Pallas kernel (outputs for
     # unvoiced frames are zero-masked below, so shrinking their windows
-    # is exact): halfwidth_e collapses unvoiced frames to a minimal
-    # window; [lo, hi) is each frame's active interval in the buffer
-    halfwidth_e = jnp.where(voiced, halfwidth, 2.0)
+    # is exact -- unless the caller wants the unmaskable DC output, which
+    # every frame measures with the full placeholder-width window);
+    # [lo, hi) is each frame's active interval in the buffer
+    halfwidth_e = halfwidth if with_dc else jnp.where(voiced, halfwidth, 2.0)
     hw_int = jnp.ceil(halfwidth_e).astype(jnp.int32)
 
     def per_chunk(args):
@@ -164,11 +182,13 @@ def harmonic_analysis(
         wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)        # [C]
         ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
         phse = jnp.arctan2(im, re)
-        return ampl, phse
+        return ampl, phse, jnp.sum(xw, axis=-1) / wsum
 
     N = centers.shape[0]
     if use_pallas:
         from .pallas_osc import harmonic_project_pallas
+        from .pallas_osc import harmonic_project_win_pallas
+        from .windows import COSINE_SERIES
         if nhop is not None:
             hh = -(-H // nhop)       # window halfwidth in whole hops
             Wf = 2 * hh * nhop       # frame buffer width (covers +/- H)
@@ -180,13 +200,25 @@ def harmonic_analysis(
         hi = C + hw_int + 1
         cyc_c = cyc[centers]                                  # [N] (tiny)
 
-        def project(frames, dcf, hwe, lo_, hi_):
-            w = window_centered(window, noff, hwe[:, None])
-            xw = frames * w
-            re, im = harmonic_project_pallas(dcf, xw, max_k, lo=lo_, hi=hi_)
-            wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
-            a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
-            return a, jnp.arctan2(im, re)
+        if window in COSINE_SERIES:
+            # fused path: window eval + multiply + wsum/DC live inside the
+            # kernel, removing three [N, Wf] HBM round trips per pass
+            def project(frames, dcf, hwe, lo_, hi_):
+                re, im, wsum, xsum = harmonic_project_win_pallas(
+                    dcf, frames, hwe, max_k, lo=lo_, hi=hi_, center=C,
+                    window=window)
+                wsum = jnp.maximum(wsum, 1e-9)
+                a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+                return a, jnp.arctan2(im, re), xsum / wsum
+        else:
+            def project(frames, dcf, hwe, lo_, hi_):
+                w = window_centered(window, noff, hwe[:, None])
+                xw = frames * w
+                re, im = harmonic_project_pallas(dcf, xw, max_k,
+                                                 lo=lo_, hi=hi_)
+                wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+                a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+                return a, jnp.arctan2(im, re), jnp.sum(xw, axis=-1) / wsum
 
         if nhop is not None and frame_chunk > 0:
             # chunked framing: dynamic-slice the hop-blocked signals per
@@ -219,21 +251,22 @@ def harmonic_analysis(
                     jax.lax.dynamic_slice(lo_p, (c0,), (FC,)),
                     jax.lax.dynamic_slice(hi_p, (c0,), (FC,)))
 
-            ampl, phse = jax.lax.map(pchunk, jnp.arange(0, nfrm_p, FC))
+            ampl, phse, dcv = jax.lax.map(pchunk, jnp.arange(0, nfrm_p, FC))
             ampl = ampl.reshape(-1, max_k)[:N]
             phse = phse.reshape(-1, max_k)[:N]
+            dcv = dcv.reshape(-1)[:N]
         elif nhop is not None:
             frames = frame_hops(x.astype(jnp.float32), N, nhop, hh)
             dcf = frame_hops(cyc, N, nhop, hh, mode="edge") \
                 - cyc_c[:, None]
-            ampl, phse = project(frames, dcf, halfwidth_e, lo, hi)
+            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
         else:
             # non-uniform centers: fall back to gather framing
             xp_g = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
             idx = centers[:, None] + jnp.arange(W)[None, :]
             frames = xp_g[idx]
             dcf = cycle_segments(cyc, centers, H)
-            ampl, phse = project(frames, dcf, halfwidth_e, lo, hi)
+            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
     else:
         xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
         dc_all = cycle_segments(cyc, centers, H)             # [N, W]
@@ -242,10 +275,13 @@ def harmonic_analysis(
         hw = jnp.pad(halfwidth, (0, pad),
                      constant_values=2.0).reshape(-1, chunk)
         dc = jnp.pad(dc_all, ((0, pad), (0, 0))).reshape(-1, chunk, W)
-        ampl, phse = jax.lax.map(per_chunk, (cs, hw, dc))
+        ampl, phse, dcv = jax.lax.map(per_chunk, (cs, hw, dc))
         ampl = ampl.reshape(-1, max_k)[:N]
         phse = phse.reshape(-1, max_k)[:N]
+        dcv = dcv.reshape(-1)[:N]
     m = mask.astype(jnp.float32)
+    if with_dc:
+        return ampl * m, phse * m, m, dcv
     return ampl * m, phse * m, m
 
 
@@ -299,9 +335,15 @@ def refine_f0(
         fs_d = fs / D
         nx = x.shape[0]
         X = jnp.fft.rfft(x.astype(jnp.float32))
-        fbins = jnp.fft.rfftfreq(nx, 1.0 / fs)
-        x_lp = jnp.fft.irfft(X * (fbins < 0.45 * fs_d), n=nx)
-        xd = x_lp[::D]
+        # decimate IN the frequency domain: the lowpassed band lives in
+        # the first nx/D bins, so a small inverse transform produces the
+        # decimated signal directly -- the full-length irfft + [::D] was
+        # a pure waste of the dominant inverse-FFT cost (1/D keeps the
+        # irfft normalization consistent with the short length)
+        nxd = nx // D
+        fbins_d = jnp.arange(nxd // 2 + 1, dtype=jnp.float32) * (fs / nx)
+        xd = jnp.fft.irfft(X[: nxd // 2 + 1] * (fbins_d < 0.45 * fs_d),
+                           n=nxd) * (1.0 / D)
         nhop_d = nhop // D
         H_d = -(-H // D)
         delta_d = max(delta // D, 1)

@@ -50,7 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 FRAME_BLOCK = 128   # frames per grid step; also the coefficient lane block
 KCHUNK = 8          # harmonic rows per fori_loop step (sublane tile)
-W_BLOCK = 256       # window-sample chunk for the projection kernel
+W_BLOCK = 256       # window-sample chunk for the projection kernel.
+                    # Do not shrink to 128: the finer [lo, hi) skip
+                    # granularity loses more to per-grid-step overhead
+                    # than it saves (measured -12% end-to-end on v5e,
+                    # round 2)
 TWO_PI = 6.283185307179586
 
 
@@ -145,6 +149,220 @@ def osc_bank_pallas(dc: jnp.ndarray, ampl: jnp.ndarray, phse: jnp.ndarray,
         interpret=_interpret(),
     )(klb, dc.astype(jnp.float32), ar, ai)
     return out[:N]
+
+
+def _proj_win_kernel(lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
+                     re_ref, im_ref, ws_ref, xs_ref, *, center, coefs):
+    """Fused-window projection grid step (i, jw).
+
+    Same harmonic accumulation as _proj_kernel, but the pitch-synchronous
+    window is EVALUATED INSIDE the kernel from each frame's halfwidth
+    (cosine-series w(u), compact support), and its sum is accumulated as a
+    third output.  This removes three [N, W]-sized HBM round trips per
+    projection pass (window materialization, the xw multiply, and the
+    separate wsum reduction) -- the "framing+window bookkeeping" that
+    dominated the projection stage beyond the 2.4 ms kernel (round-2
+    profile, docs/STATUS.md)."""
+    i = pl.program_id(0)
+    jw = pl.program_id(1)
+    wblock = dc_ref.shape[1]
+
+    @pl.when(jw == 0)
+    def _():
+        re_ref[:] = jnp.zeros_like(re_ref)
+        im_ref[:] = jnp.zeros_like(im_ref)
+        ws_ref[:] = jnp.zeros_like(ws_ref)
+        xs_ref[:] = jnp.zeros_like(xs_ref)
+
+    @pl.when(((jw + 1) * wblock > lob_ref[i]) & (jw * wblock < hib_ref[i]))
+    def _():
+        hw = hw_ref[0, :]                                   # [F]
+        noff = (jw * wblock - center
+                + jax.lax.broadcasted_iota(jnp.int32, (1, wblock), 1)
+                ).astype(jnp.float32)
+        u = (noff / hw[:, None] + 1.0) * 0.5                # [F, Wb]
+        w = jnp.full_like(u, coefs[0])
+        for m in range(1, len(coefs)):
+            w = w + coefs[m] * jnp.cos((TWO_PI * m) * u)
+        w = jnp.where((u >= 0.0) & (u <= 1.0), w, 0.0)
+        xw = fr_ref[:] * w
+        ws_ref[:] = ws_ref[:] + jnp.sum(w, axis=-1)[None, :]
+        # k = 0 row (sum of the windowed signal): callers derive the
+        # windowed DC as xs/ws -- replaces layer0's separate gather-based
+        # _windowed_dc pass in the noise-envelope analysis
+        xs_ref[:] = xs_ref[:] + jnp.sum(xw, axis=-1)[None, :]
+        ang = TWO_PI * dc_ref[:]
+        zr = jnp.cos(ang)
+        zi = jnp.sin(ang)
+        K = re_ref.shape[0]
+
+        def chunk(j, carry):
+            wr, wi = carry
+            res, ims = [], []
+            for _ in range(KCHUNK):
+                res.append(jnp.sum(wr * xw, axis=-1))
+                ims.append(-jnp.sum(wi * xw, axis=-1))
+                nwr = wr * zr - wi * zi
+                wi = wr * zi + wi * zr
+                wr = nwr
+            base = pl.multiple_of(j * KCHUNK, KCHUNK)
+            re_ref[pl.ds(base, KCHUNK), :] += jnp.stack(res)
+            im_ref[pl.ds(base, KCHUNK), :] += jnp.stack(ims)
+            return wr, wi
+
+        jax.lax.fori_loop(0, K // KCHUNK, chunk, (zr, zi))
+
+
+@functools.partial(jax.jit, static_argnames=("max_k", "center", "window",
+                                             "block", "wblock"))
+def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
+                                hw: jnp.ndarray, max_k: int,
+                                lo: jnp.ndarray, hi: jnp.ndarray,
+                                *, center: int, window: str = "hanning",
+                                block: int = FRAME_BLOCK,
+                                wblock: int = W_BLOCK):
+    """Fused window + projection: returns (re [N,K], im [N,K], wsum [N],
+    xsum [N]) with re+j*im = sum_w frames[w]*win(w)*exp(-2j pi (k+1) dc[w]),
+    wsum = sum_w win(w) and xsum = sum_w frames[w]*win(w) (the k=0 row),
+    where win is the cosine-series window `window` centered at buffer
+    position `center` with per-frame halfwidth hw.
+    Entries of `frames` outside each frame's support need NOT be zeroed
+    (the in-kernel window mask handles it); lo/hi give the per-frame
+    active interval for whole-block skipping as in harmonic_project_pallas.
+    """
+    from .windows import COSINE_SERIES
+    coefs = tuple(float(c) for c in COSINE_SERIES[window])
+    N, W = dc.shape
+    Kp = _round_up(max_k, KCHUNK)
+    npad = (-N) % block
+    wpad = (-W) % wblock
+    dc = jnp.pad(dc, ((0, npad), (0, wpad)))
+    fr = jnp.pad(frames, ((0, npad), (0, wpad)))
+    # padded frames carry hw=2 and zero data -> zero contribution
+    # ([1, Np] layout: frames in lanes, sublane block size 1 == full dim)
+    hwp = jnp.pad(hw.astype(jnp.float32), (0, npad),
+                  constant_values=2.0)[None, :]
+    Np, Wp = N + npad, W + wpad
+    nb = Np // block
+    lob = _block_min(jnp.clip(lo, 0, W), N, block, fill=W)
+    hib = _block_max(jnp.clip(hi, 0, W), N, block, fill=0)
+    re, im, ws, xs = pl.pallas_call(
+        functools.partial(_proj_win_kernel, center=center, coefs=coefs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb, Wp // wblock),
+            in_specs=[
+                pl.BlockSpec((1, block), lambda i, jw, *_: (0, i)),
+                pl.BlockSpec((block, wblock), lambda i, jw, *_: (i, jw)),
+                pl.BlockSpec((block, wblock), lambda i, jw, *_: (i, jw)),
+            ],
+            out_specs=(
+                pl.BlockSpec((Kp, block), lambda i, jw, *_: (0, i)),
+                pl.BlockSpec((Kp, block), lambda i, jw, *_: (0, i)),
+                pl.BlockSpec((1, block), lambda i, jw, *_: (0, i)),
+                pl.BlockSpec((1, block), lambda i, jw, *_: (0, i)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(lob, hib, hwp, dc.astype(jnp.float32), fr.astype(jnp.float32))
+    return re[:max_k].T[:N], im[:max_k].T[:N], ws[0, :N], xs[0, :N]
+
+
+def _env_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref, i1_ref,
+                env_ref, base_ref, *, C, Ke):
+    """One frame block: render per-channel temporal noise envelopes.
+
+    env[c, f, t] = lerp(edc) + sum_k lerp(ar)*cos(2 pi (k+1) cyc)
+                               - lerp(ai)*sin(...)
+    where lerp interpolates the per-frame coefficients (a0 -> a1) across
+    the hop.  The small [F, C]/[F, C*Ke] coefficient blocks broadcast
+    against the [F, T] sample grid entirely in VMEM -- the jnp reference
+    materializes [nx, C, Ke] HBM tensors with 4-wide lanes (3% lane
+    utilization), which made envelope rendering the dominant synthesis
+    cost (round-2 profile, docs/STATUS.md)."""
+    T = cyc_ref.shape[1]
+    t = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+         ).astype(jnp.float32) * (1.0 / T)
+    ph = TWO_PI * cyc_ref[:]
+    c1 = jnp.cos(ph)
+    s1 = jnp.sin(ph)
+
+    def lerp(a0_ref, a1_ref, j):
+        a0 = a0_ref[:, j:j + 1]
+        return a0 + (a1_ref[:, j:j + 1] - a0) * t
+
+    for c in range(C):
+        edc = lerp(e0_ref, e1_ref, c)
+        acc = edc
+        wr, wi = c1, s1
+        for k in range(Ke):
+            ck = c * Ke + k
+            acc = acc + lerp(r0_ref, r1_ref, ck) * wr \
+                - lerp(i0_ref, i1_ref, ck) * wi
+            nwr = wr * c1 - wi * s1
+            wi = wr * s1 + wi * c1
+            wr = nwr
+        env_ref[c, :, :] = jnp.maximum(acc, 0.0)
+        base_ref[c, :, :] = jnp.maximum(edc, 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def env_render_pallas(cyc: jnp.ndarray, edc: jnp.ndarray, ar: jnp.ndarray,
+                      ai: jnp.ndarray, block: int = FRAME_BLOCK):
+    """Fused envelope render: cyc [N*nhop] (mod-1 cycle track), edc [N, C],
+    ar/ai [N, C, Ke] (rotated envelope-harmonic coefficients, already
+    voicing-masked) -> (env [C, N*nhop], base [C, N*nhop]).
+
+    Sample t of frame i interpolates the coefficients of frames i and i+1
+    (the last frame extends constant), matching layer0._render_envelopes'
+    frame-structured lerp exactly."""
+    N, C, Ke = ar.shape
+    nhop = cyc.shape[0] // N
+    cyc_hb = cyc.reshape(N, nhop).astype(jnp.float32)
+
+    def pair(a):  # (a[i], a[i+1]) rows, last row constant-extended
+        flat = a.reshape(N, -1).astype(jnp.float32)
+        return flat, jnp.concatenate([flat[1:], flat[-1:]], axis=0)
+
+    e0, e1 = pair(edc)
+    r0, r1 = pair(ar)
+    i0, i1 = pair(ai)
+    pad = (-N) % block
+    if pad:
+        cyc_hb = jnp.pad(cyc_hb, ((0, pad), (0, 0)))
+        e0, e1, r0, r1, i0, i1 = (jnp.pad(a, ((0, pad), (0, 0)))
+                                  for a in (e0, e1, r0, r1, i0, i1))
+    Np = N + pad
+    env, base = pl.pallas_call(
+        functools.partial(_env_kernel, C=C, Ke=Ke),
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((block, nhop), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, block, nhop), lambda i: (0, i, 0)),
+            pl.BlockSpec((C, block, nhop), lambda i: (0, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, Np, nhop), jnp.float32),
+            jax.ShapeDtypeStruct((C, Np, nhop), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(cyc_hb, e0, e1, r0, r1, i0, i1)
+    return (env[:, :N].reshape(C, N * nhop),
+            base[:, :N].reshape(C, N * nhop))
 
 
 def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):

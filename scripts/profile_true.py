@@ -138,13 +138,41 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
         return jnp.sum(jax.vmap(one)(c)[:, 0, 0])
 
     def proj(eps):
+        # nhop passed: the gather-free hop-block framing the pipeline uses
         def one(xx, ff):
             cy = harmonics.sample_cycles(ff, nhop, conf.fs, nx)
             a, p, m = harmonics.harmonic_analysis(
                 xx, ff, centers, cy, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq, use_pallas=True)
+                fnyq=conf.fnyq, use_pallas=True, nhop=nhop)
             return a[0, 0]
+        return jnp.sum(jax.vmap(one)(x + eps, f0))
+
+    def envpass(eps):
+        # the full noise-envelope analysis pass as analyze runs it:
+        # decimated band envelopes + per-channel projections with DC row
+        conf_ = opt.conf
+        D = layer0._env_decimation(conf_, opt.env_decimate)
+        fs_d = conf_.fs / D
+        nhop_d = nhop // D
+        H_d = -(-conf_.halfwin_max // D)
+
+        def one(xx, ff):
+            cy = harmonics.sample_cycles(ff, nhop, conf_.fs, nx)
+            envs = layer0._band_envelopes(xx, conf_, D)
+            nfrm_ = ff.shape[0]
+            centers_d = jnp.arange(nfrm_, dtype=jnp.int32) * nhop_d
+
+            def env_chan(env_c):
+                ea, ep, _, edc = harmonics.harmonic_analysis(
+                    env_c, ff, centers_d, cy[::D], fs=fs_d,
+                    max_k=conf_.maxnhar_e, halfwin_max=H_d,
+                    rel_winsize=conf_.rel_winsize,
+                    fnyq=min(conf_.fnyq, 0.4 * fs_d),
+                    use_pallas=True, nhop=nhop_d, with_dc=True)
+                return edc, ea, ep
+            edc, ea, ep = jax.vmap(env_chan)(envs)
+            return edc[0, 0] + ea[0, 0, 0]
         return jnp.sum(jax.vmap(one)(x + eps, f0))
 
     def refine(eps):
@@ -192,7 +220,7 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
     for name, fn in [("pipeline", pipe), ("analysis", ana),
                      ("ana_norefine", ana_norefine),
                      ("ana_1pass", ana_1pass), ("envchan", envchan),
-                     ("bandenv", bandenv),
+                     ("envpass", envpass), ("bandenv", bandenv),
                      ("synthesis", syn), ("proj1", proj),
                      ("refine", refine), ("cyc", cyc_fn), ("osc", osc),
                      ("noise", noise), ("env", env)]:
@@ -207,8 +235,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
     summary = {"batch": batch, "duration": duration, "repeats": R,
                "floor_s": floor}
     for name in ["pipeline", "analysis", "ana_norefine", "ana_1pass",
-                 "envchan", "bandenv", "synthesis", "proj1", "refine",
-                 "cyc", "osc", "noise", "env"]:
+                 "envchan", "envpass", "bandenv", "synthesis", "proj1",
+                 "refine", "cyc", "osc", "noise", "env"]:
         w = results.get(name + "_wall_s")
         if w is None:
             continue

@@ -116,6 +116,41 @@ class TestRoundTrip:
         assert 0.5 < py / px < 2.0, (px, py)
 
 
+def test_env_decimation_matches_full_rate():
+    """Envelope analysis at fs/4 (complex-demodulated band envelopes,
+    AnalysisOptions.env_decimate) must reproduce the full-rate edc/eenv:
+    the decimation is exact for alias-window-contained bands; only the
+    window grid changes (D-sample quantized positions)."""
+    import dataclasses
+
+    x, f0 = testsig.make_test_utterance(duration=0.8, seed=5,
+                                        noise_level=0.1)
+    opt4 = create_aoptions()
+    opt1 = dataclasses.replace(opt4, env_decimate=1)
+    assert layer0._env_decimation(opt4.conf, opt4.env_decimate) == 4
+    c4 = layer0.analyze(opt4, x, f0)
+    c1 = layer0.analyze(opt1, x, f0)
+    edc4, edc1 = np.asarray(c4.edc), np.asarray(c1.edc)
+    scale = np.mean(np.abs(edc1)) + 1e-9
+    d = np.abs(edc4 - edc1) / scale
+    # interior frames agree to ~1%; the max lives on the edge frames whose
+    # window hangs off the signal (different pad discretization per rate)
+    assert np.percentile(d, 95) < 0.05, np.percentile(d, 95)
+    assert d.max() < 0.15, d.max()
+    # envelope-harmonic complex coefficients agree within a few percent
+    z4 = np.asarray(c4.eenv_a) * np.exp(1j * np.asarray(c4.eenv_p))
+    z1 = np.asarray(c1.eenv_a) * np.exp(1j * np.asarray(c1.eenv_p))
+    escale = np.mean(np.abs(z1)) + 1e-9
+    assert np.percentile(np.abs(z4 - z1), 95) / escale < 0.15
+    # decimated band envelopes ARE the full-rate ones, every 4th sample
+    conf = opt4.conf
+    nx = c4.nfrm * conf.nhop
+    xr = jnp.asarray(x[:nx], jnp.float32)
+    e1 = np.asarray(layer0._band_envelopes(xr, conf, 1))
+    e4 = np.asarray(layer0._band_envelopes(xr, conf, 4))
+    np.testing.assert_allclose(e4, e1[:, ::4], atol=2e-5 + 1e-3 * e1.max())
+
+
 def test_batched_api(fixture_harm):
     import jax.numpy as jnp
     from libllsm2_tpu import analyze_batch, synthesize_batch

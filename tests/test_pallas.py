@@ -66,6 +66,70 @@ def test_full_pipeline_pallas_flag():
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-3)
 
 
+def test_harmonic_project_win_fused_matches_unfused():
+    """The fused-window kernel (window evaluated in-kernel) must match
+    window_centered + harmonic_project_pallas + explicit wsum."""
+    from libllsm2_tpu.ops import windows
+
+    rng = np.random.default_rng(7)
+    N, W, K = 70, 300, 24
+    C = W // 2
+    dc = jnp.asarray(rng.uniform(-2, 2, (N, W)), jnp.float32)
+    fr = jnp.asarray(rng.standard_normal((N, W)), jnp.float32)
+    hw = jnp.asarray(rng.uniform(2.0, C, N), jnp.float32)
+    hw_int = jnp.ceil(hw).astype(jnp.int32)
+    lo, hi = C - hw_int, C + hw_int + 1
+    noff = jnp.arange(W, dtype=jnp.float32)[None, :] - C
+    for win in ("hanning", "blackman_harris"):
+        w = windows.window_centered(win, noff, hw[:, None])
+        re_r, im_r = pallas_osc.harmonic_project_pallas(
+            dc, fr * w, K, lo=lo, hi=hi)
+        ws_r = jnp.sum(w, axis=-1)
+        re_f, im_f, ws_f, xs_f = pallas_osc.harmonic_project_win_pallas(
+            dc, fr, hw, K, lo=lo, hi=hi, center=C, window=win)
+        np.testing.assert_allclose(np.asarray(re_f), np.asarray(re_r),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(im_f), np.asarray(im_r),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ws_f), np.asarray(ws_r),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(xs_f),
+                                   np.asarray(jnp.sum(fr * w, axis=-1)),
+                                   atol=2e-3)
+
+
+def test_env_render_pallas_matches_jnp():
+    """The fused envelope renderer must match _render_envelopes (the
+    frame-structured lerp + rotation-recurrence jnp reference)."""
+    import jax.numpy as jnp
+    from libllsm2_tpu import ChunkConf, create_chunk
+    from libllsm2_tpu.ops import harmonics
+
+    rng = np.random.default_rng(11)
+    conf = ChunkConf()
+    nhop = conf.nhop
+    N, C, Ke = 37, conf.nchannel, conf.maxnhar_e
+    nx = N * nhop
+    ch = create_chunk(conf, N)
+    f0 = rng.uniform(100, 300, N).astype(np.float32)
+    f0[5:8] = 0.0
+    ch = dataclasses.replace(
+        ch,
+        f0=jnp.asarray(f0),
+        edc=jnp.asarray(rng.uniform(0, 1, (N, C)), jnp.float32),
+        eenv_a=jnp.asarray(rng.uniform(0, 0.5, (N, C, Ke)), jnp.float32),
+        eenv_p=jnp.asarray(rng.uniform(-3, 3, (N, C, Ke)), jnp.float32))
+    centers = jnp.arange(N, dtype=jnp.int32) * nhop
+    cyc = harmonics.sample_cycles(ch.f0, nhop, conf.fs, nx)
+    env_r, base_r = layer0._render_envelopes(ch, cyc, centers, nx, nhop)
+    env_p, base_p = layer0._render_envelopes(ch, cyc, centers, nx, nhop,
+                                             use_pallas=True)
+    np.testing.assert_allclose(np.asarray(env_p), np.asarray(env_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(base_p), np.asarray(base_r),
+                               atol=2e-6)
+
+
 def test_harmonic_project_skip_matches_full():
     """[lo, hi) window-block skipping must be exact when the entries
     outside the interval are zero (centered pitch-synchronous windows)."""
