@@ -32,7 +32,8 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=4):
+def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=4,
+         passes=0):
     import jax
     import jax.numpy as jnp
 
@@ -53,6 +54,9 @@ def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=4):
     opt = dataclasses.replace(create_aoptions(), conf=conf,
                               use_pallas=bool(pallas),
                               frame_chunk=int(fchunk))
+    if passes:   # 0 = library default (hm_passes=1 + analytic deconv)
+        opt = dataclasses.replace(opt, hm_passes=int(passes),
+                                  hm_correction="none")
     sopt = dataclasses.replace(create_soptions(), use_pallas=bool(pallas))
 
     xs, f0s, refs = [], [], []

@@ -95,10 +95,28 @@ class AnalysisOptions:
                                  # thop=5ms): analysis resamples the input to
                                  # conf.fs (ciglet.h -> sincresample/rresample)
     hm_method: str = "czt"       # "czt" | "pp"  (reference: LLSM_AOPTION_HMCZT/HMPP)
-    hm_passes: int = 2           # Gauss-Seidel re-analysis passes of the
+    hm_passes: int = 1           # Gauss-Seidel re-analysis passes of the
                                  # residual (leakage cancellation; 1 = single
-                                 # pass like the reference, 2 adds ~7 dB
-                                 # round-trip SNR under F0 modulation)
+                                 # pass like the reference).  The default is
+                                 # now 1 + hm_correction="gram": the analytic
+                                 # correction equals the pass-2 update to
+                                 # second order (same Newton step) at ~1/10th
+                                 # the cost.  Set hm_passes=2 to force the
+                                 # explicit render+reproject pass.
+    hm_correction: str = "deconv"
+                                 # "deconv" | "none".  "deconv" (with
+                                 # hm_passes == 1, hm_method "czt"):
+                                 # deconvolve the temporal smoothing of each
+                                 # harmonic's amplitude track analytically.
+                                 # The ~4-period analysis window averages a
+                                 # time-varying amplitude over ~+-2 hops; in
+                                 # the phase-aligned complex-track domain
+                                 # this is a real banded frame matrix T
+                                 # (window x OLA-crossfade overlap), and one
+                                 # Neumann step 2c - Tc applies the same
+                                 # 2S - S^2 operator as a full Gauss-Seidel
+                                 # render+reproject pass at ~1/20th the
+                                 # cost (layer0._deconv_correction).
     f0_refine: bool = True       # refine the supplied F0 from the harmonic fit
     f0_refine_smooth: int = 9    # frames (odd): apply only the MOVING-AVERAGE
                                  # of the refine correction.  The phase-slope

@@ -125,6 +125,86 @@ def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
     return pgram @ band_mat.T
 
 
+def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
+                       mask):
+    """Analytic amplitude-track deconvolution (hm_correction="deconv").
+
+    What the Gauss-Seidel render+reproject pass actually fixes is NOT
+    inter-harmonic leakage -- the chirped basis is near-orthogonal under
+    the pitch-synchronous window (its Gram off-diagonals measure ~1e-3)
+    -- but TEMPORAL smoothing of each harmonic's amplitude track: the
+    ~4-period window averages a time-varying amplitude (shimmer, or the
+    envelope sweeping under vibrato) over ~+-2 hops.  In the
+    phase-aligned complex-track domain c'_k[j] = c_k[j] e^{-2 pi j k
+    cyc[c_j]}, measurement-after-render is a REAL, k-independent banded
+    frame matrix
+
+        T[i, i+d] = sum_n w_i(n) * w_ola(n - d*nhop) / wsum_i
+
+    (analysis window x synthesis OLA crossfade overlap; rows sum to 1),
+    so one Neumann step  c' <- 2 c_hat' - T c_hat'  applies 2S - S^2 --
+    exactly the operator of the Gauss-Seidel pass (hm_passes=2) -- at the
+    cost of a tiny banded matvec along frames instead of a full
+    oscillator render + K-wide re-projection (measured 19.5 -> ~1 ms per
+    step, batch 32 x 8 s, v5e).  Reference: layer0.c has no analog; its
+    single-pass analysis keeps the smoothing."""
+    conf = opt.conf
+    nhop = conf.nhop
+    N, K = ampl.shape
+    hh = -(-conf.halfwin_max // nhop)
+    D = hh + 1                       # |d| band: window +- OLA half-width
+    voiced = f0 > 0.0
+    f0s = jnp.where(voiced, f0, 100.0)
+    halfwidth = jnp.clip(conf.rel_winsize * conf.fs / (2.0 * f0s), 2.0,
+                         float(conf.halfwin_max))
+
+    # T bands: overlap of the analysis window (centered at 0, halfwidth
+    # per frame) with the render crossfade w_ola centered at d*nhop.
+    # w_ola(r) for r in [-nhop, nhop): periodic Hann, matches
+    # harmonics.oscillator_bank's OLA window exactly.
+    # coarse quadrature: the w_i * w_ola product has < 2 cycles across
+    # each nhop-wide band, so a stride-8 midpoint sum gives the bands to
+    # ~1e-3 relative -- and the row normalization absorbs the overall
+    # quadrature scale exactly.  (The dense [N, 2D+1, 2*nhop] build cost
+    # ~9 ms/step at batch 32; this is ~1 ms.)
+    stride = 8
+    nq = (2 * nhop) // stride
+    r = (-nhop + (jnp.arange(nq, dtype=jnp.float32) + 0.5) * stride)
+    w_ola = (0.5 + 0.5 * jnp.cos(jnp.pi * r / nhop))[None, None, :]
+    d_off = jnp.arange(-D, D + 1, dtype=jnp.float32)        # [2D+1]
+    n_abs = d_off[None, :, None] * nhop + r[None, None, :]  # [1, 2D+1, nq]
+    from ..ops import windows as _win
+    w_i = _win.window_centered("hanning", n_abs, halfwidth[:, None, None])
+    T_band = jnp.sum(w_i * w_ola, axis=-1)                  # [N, 2D+1]
+    # rows sum to (wsum_i / stride) exactly in the limit (w_ola partitions
+    # unity at 50% overlap and the bands cover the whole window support),
+    # so the row-sum normalization IS the projection's 1/wsum
+    T_band = T_band / jnp.maximum(jnp.sum(T_band, axis=-1,
+                                          keepdims=True), 1e-9)
+
+    # phase alignment: c'_k[i] = c_k[i] e^{-2 pi j k cyc_i} (mod-1 args)
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    cyc_c = cyc[centers]                                    # [N]
+    ph = kharm[None, :] * cyc_c[:, None]
+    ph = ph - jnp.round(ph)
+    align = jnp.exp(-2j * jnp.pi * ph)                      # [N, K]
+    c = ampl * jnp.exp(1j * phse) * align                   # c_hat' [N, K]
+
+    def band_matvec(v):                                     # T @ v
+        out = jnp.zeros_like(v)
+        for j, d in enumerate(range(-D, D + 1)):
+            if d >= 0:
+                sh = jnp.pad(v, ((0, d), (0, 0)))[d:]       # v[i+d]
+            else:
+                sh = jnp.pad(v, ((-d, 0), (0, 0)))[:N]      # v[i+d], d<0
+            out = out + T_band[:, j:j + 1] * sh
+        return out
+
+    c2 = 2.0 * c - band_matvec(c)
+    c2 = c2 * jnp.conj(align)
+    return jnp.abs(c2) * mask, jnp.angle(c2) * mask
+
+
 def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
     """Analyze a signal into an LLSM chunk (reference: layer0.c ->
     llsm_analyze(aoptions, x, nx, fs, f0, nf0)).
@@ -196,6 +276,10 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     # back in, cancelling AM-sideband leakage between harmonics that a
     # single windowed projection leaves behind (opt.hm_passes) ---
     with jax.named_scope("llsm.analyze.residual"):
+        if (opt.hm_correction == "deconv" and opt.hm_passes <= 1
+                and opt.hm_method == "czt"):
+            ampl, phse = _deconv_correction(opt, f0, centers, cyc, ampl,
+                                            phse, mask)
         for _pass in range(max(opt.hm_passes - 1, 0)):
             segs = harmonics.oscillator_bank(
                 cyc, centers, ampl, phse, mask, nhop=nhop,
