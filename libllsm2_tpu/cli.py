@@ -30,6 +30,8 @@ def _analyze_file(path: str, args):
 
     x, fs = audio.wavread(path)
     opt = create_aoptions(fs=fs)
+    if getattr(args, "denoise", 0.0) > 0.0:
+        opt = dataclasses.replace(opt, track_lowpass_hz=args.denoise)
     if opt.fs_input:
         # non-integral hop at the file's rate (e.g. 44.1 kHz @ 5 ms):
         # resample once here so F0 tracking and analysis share the
@@ -54,6 +56,9 @@ def main(argv=None):
         p.add_argument("--rd", type=float, default=None)
         p.add_argument("--fs-out", type=float, default=None)
         p.add_argument("--seed", type=int, default=0x5eed)
+        p.add_argument("--denoise", type=float, default=0.0, metavar="HZ",
+                       help="harmonic-track lowpass cutoff for breathy "
+                            "recordings (try 30; smears fast dynamics)")
     args = ap.parse_args(argv)
 
     from . import create_soptions

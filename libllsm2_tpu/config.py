@@ -144,6 +144,21 @@ class AnalysisOptions:
                                  # the hop.
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
+    track_lowpass_hz: float = 0.0
+                                 # > 0: lowpass each harmonic's
+                                 # phase-aligned complex amplitude track at
+                                 # this frame-frequency cutoff (voiced
+                                 # interiors only).  Opt-in denoiser for
+                                 # breathy/noisy recordings: noise landing
+                                 # on harmonic frequencies is broadband
+                                 # along the track while true amplitude
+                                 # dynamics are slow -- 30 Hz buys ~+4 dB
+                                 # harmonic SNR at noise level 0.05 but
+                                 # SMEARS fast true dynamics (-5..8 dB on
+                                 # clean shimmer fixtures), hence off by
+                                 # default.  (Per-bin Wiener shrinkage was
+                                 # tried and rejected: track-spectrum floor
+                                 # estimates leak and damage clean tracks.)
 
     @property
     def fs(self) -> float:

@@ -205,6 +205,42 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
     return jnp.abs(c2) * mask, jnp.angle(c2) * mask
 
 
+def _track_lowpass(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
+                   cutoff_hz: float):
+    """Opt-in harmonic-track denoiser (AnalysisOptions.track_lowpass_hz):
+    Hann-FIR lowpass of each harmonic's phase-aligned complex amplitude
+    track along frames, applied only where the whole filter support is
+    voiced.  See the config docstring for the measured tradeoff."""
+    N, K = ampl.shape
+    frame_rate = 1.0 / conf.thop
+    M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
+    w = jnp.hanning(M + 2)[1:-1].astype(jnp.float32)
+    w = w / jnp.sum(w)
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    ph = kharm[None, :] * cyc[centers][:, None]
+    ph = ph - jnp.round(ph)
+    align = jnp.exp(-2j * jnp.pi * ph)
+    c = ampl * jnp.exp(1j * phse) * align
+    voiced = (f0 > 0).astype(jnp.float32)
+    h = M // 2
+
+    def fir(v):
+        out = jnp.zeros_like(v)
+        for j in range(M):
+            d = j - h
+            if d >= 0:
+                sh = jnp.pad(v, ((0, d),) + ((0, 0),) * (v.ndim - 1))[d:]
+            else:
+                sh = jnp.pad(v, ((-d, 0),) + ((0, 0),) * (v.ndim - 1))[:N]
+            out = out + w[j] * sh
+        return out
+
+    cs = fir(c)
+    guard = (fir(voiced[:, None]) > 0.999)              # [N, 1]
+    cs = jnp.where(guard, cs, c) * jnp.conj(align)
+    return jnp.abs(cs) * mask, jnp.angle(cs) * mask
+
+
 def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
     """Analyze a signal into an LLSM chunk (reference: layer0.c ->
     llsm_analyze(aoptions, x, nx, fs, f0, nf0)).
@@ -280,6 +316,9 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 and opt.hm_method == "czt"):
             ampl, phse = _deconv_correction(opt, f0, centers, cyc, ampl,
                                             phse, mask)
+        if opt.track_lowpass_hz > 0.0:
+            ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
+                                        phse, mask, opt.track_lowpass_hz)
         for _pass in range(max(opt.hm_passes - 1, 0)):
             segs = harmonics.oscillator_bank(
                 cyc, centers, ampl, phse, mask, nhop=nhop,
