@@ -45,6 +45,15 @@ def _analyze_file(path: str, args):
 
 
 def main(argv=None):
+    import os
+
+    plat = os.environ.get("LLSM_PLATFORM")
+    if plat:
+        # explicit backend choice (e.g. LLSM_PLATFORM=cpu): this image's
+        # sitecustomize force-registers the TPU plugin and overrides
+        # JAX_PLATFORMS, so the CLI re-applies the user's request
+        import jax
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="libllsm2_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ["roundtrip", "pitch-shift", "stretch", "pbp", "code",

@@ -67,6 +67,34 @@ def test_decoded_chunk_synthesizes(l1chunk):
         assert abs(r) < 8.0, (lo, hi, r)
 
 
+def test_with_phase_coder_near_lossless(l1chunk):
+    """with_phase=True packs vsphse/eenv_p too (VERDICT r1 missing #6):
+    the layer-1 round trip must preserve them exactly, and the decoded
+    synthesis must reconstruct the waveform far better than the
+    phase-less layout."""
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf, with_phase=True)
+    v = coder.encode(cc, l1)
+    assert v.shape == (l1.nfrm, cc.dims)
+    d1 = coder.decode_layer1(cc, v)
+    np.testing.assert_allclose(np.asarray(d1.vsphse), np.asarray(l1.vsphse),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1.eenv_p), np.asarray(l1.eenv_p),
+                               atol=1e-6)
+
+    def err(ccv):
+        back = coder.decode(ccv, coder.encode(ccv, l1))
+        y = np.asarray(layer0.synthesize(create_soptions(), back).y_sin)
+        n = min(len(x), len(y))
+        lo, hi = int(0.1 * n), int(0.9 * n)
+        return float(np.sum((np.asarray(x)[lo:hi] - y[lo:hi]) ** 2))
+
+    e_phase = err(cc)
+    e_nophase = err(coder.CoderConfig(conf=l1.conf))
+    # waveform-domain error: phases matter; expect a large gap
+    assert e_phase < 0.25 * e_nophase, (e_phase, e_nophase)
+
+
 def test_decode_layer1_variant(l1chunk):
     """Reference parity: the coder has distinct layer-1 and layer-0
     decode variants (VERDICT r1 missing #6)."""
