@@ -377,6 +377,15 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # synthesis
 # ---------------------------------------------------------------------------
 
+def _env_coefs(chunk: Chunk):
+    """Rotated, voicing-masked envelope-harmonic coefficients:
+    (edc [N, C], ar [N, C, Ke], ai [N, C, Ke])."""
+    voiced = (chunk.f0 > 0).astype(jnp.float32)
+    ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
+    ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
+    return chunk.edc, ar, ai
+
+
 def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
                       use_pallas: bool = False):
     """Reconstruct per-channel temporal envelopes and their DC baseline
@@ -390,13 +399,11 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
     are smooth, so parameter-domain interpolation is the natural form).
     """
     N, C, Ke = chunk.eenv_a.shape
-    voiced = (chunk.f0 > 0).astype(jnp.float32)
-    ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
-    ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
+    edc_m, ar, ai = _env_coefs(chunk)
 
     if use_pallas and nx == N * nhop:
         from ..ops.pallas_osc import env_render_pallas
-        return env_render_pallas(cyc, chunk.edc, ar, ai)
+        return env_render_pallas(cyc, edc_m, ar, ai)
 
     # frame-structured lerp: every sample of frame i interpolates between
     # frames i and i+1, so the "gather" is a broadcast over a [N, nhop]
@@ -491,8 +498,6 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
         jnp.sqrt(float(T)))
     spec = (re + 1j * im) * scale[None, :]                      # [N, nbin]
     edges = conf.chan_edges
-    env, base = _render_envelopes(chunk, cyc, centers, nx, nhop,
-                                  use_pallas=use_pallas)          # [C, nx]
 
     shaped_spec = spec * gain                                   # [N, nbin]
     masks = jnp.stack([
@@ -510,6 +515,28 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
         z = jnp.fft.ifft(full0 + 1j * full1, n=T)
         return z.real, z.imag
 
+    if use_pallas and nx == chunk.nfrm * nhop:
+        # fused path: envelope render + band OLA + modulation + band sum
+        # in one kernel -- the [C, nx] env/base tensors and per-band OLA
+        # signals never reach HBM (ops.pallas_osc.noise_mod_ola_pallas)
+        band_segs = []
+        c = 0
+        while c < conf.nchannel:
+            if c + 1 < conf.nchannel:
+                b0, b1 = _irfft_pair(shaped_spec * masks[c][None, :],
+                                     shaped_spec * masks[c + 1][None, :])
+                band_segs += [b0 * w[None, :], b1 * w[None, :]]
+                c += 2
+            else:
+                band_segs.append(jnp.fft.irfft(
+                    shaped_spec * masks[c][None, :], n=T) * w[None, :])
+                c += 1
+        from ..ops.pallas_osc import noise_mod_ola_pallas
+        edc_m, ar, ai = _env_coefs(chunk)
+        return noise_mod_ola_pallas(cyc, edc_m, ar, ai,
+                                    jnp.stack(band_segs))
+
+    env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
     y = jnp.zeros(nx, jnp.float32)
     c = 0
     while c < conf.nchannel:

@@ -365,6 +365,99 @@ def env_render_pallas(cyc: jnp.ndarray, edc: jnp.ndarray, ar: jnp.ndarray,
             base[:, :N].reshape(C, N * nhop))
 
 
+def _noise_mod_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref,
+                      i1_ref, cur_ref, nxt_ref, out_ref, *, C, Ke):
+    """One frame block: envelope render + band OLA + modulation + band
+    sum, fused.  cur/nxt [C, F, nhop] hold each band's WOLA segment
+    halves aligned to hop blocks (hop i = seg_i[nhop:] + seg_{i+1}[:nhop]);
+    out[f, t] = sum_c (cur[c] + nxt[c]) * max(env_c, 0)/max(edc_c, 1e-8).
+    Extends _env_kernel so the [C, nx] env/base tensors and per-band OLA
+    signals never touch HBM."""
+    T = cyc_ref.shape[1]
+    t = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+         ).astype(jnp.float32) * (1.0 / T)
+    ph = TWO_PI * cyc_ref[:]
+    c1 = jnp.cos(ph)
+    s1 = jnp.sin(ph)
+
+    def lerp(a0_ref, a1_ref, j):
+        a0 = a0_ref[:, j:j + 1]
+        return a0 + (a1_ref[:, j:j + 1] - a0) * t
+
+    acc = jnp.zeros_like(c1)
+    for c in range(C):
+        edc = lerp(e0_ref, e1_ref, c)
+        env = edc
+        wr, wi = c1, s1
+        for k in range(Ke):
+            ck = c * Ke + k
+            env = env + lerp(r0_ref, r1_ref, ck) * wr \
+                - lerp(i0_ref, i1_ref, ck) * wi
+            nwr = wr * c1 - wi * s1
+            wi = wr * s1 + wi * c1
+            wr = nwr
+        ratio = jnp.maximum(env, 0.0) / jnp.maximum(edc, 1e-8)
+        acc = acc + (cur_ref[c, :, :] + nxt_ref[c, :, :]) * ratio
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
+                         ar: jnp.ndarray, ai: jnp.ndarray,
+                         segs: jnp.ndarray,
+                         block: int = FRAME_BLOCK) -> jnp.ndarray:
+    """Fused noise-band OLA + temporal-envelope modulation + band sum.
+
+    cyc [N*nhop] mod-1 cycle track; edc [N, C], ar/ai [N, C, Ke]
+    (rotated, voicing-masked envelope coefficients, as env_render_pallas);
+    segs [C, N, 2*nhop] = per-band WOLA noise segments (synthesis window
+    already applied).  Returns y [N*nhop] =
+    sum_c OLA(segs[c]) * env_c / base_c, identical to
+    overlap_add_half + env/base modulation in layer0._synth_noise."""
+    N, C, Ke = ar.shape
+    nhop = cyc.shape[0] // N
+    cyc_hb = cyc.reshape(N, nhop).astype(jnp.float32)
+    cur = segs[:, :, nhop:].astype(jnp.float32)         # [C, N, nhop]
+    nxt = jnp.concatenate([segs[:, 1:, :nhop],
+                           jnp.zeros((C, 1, nhop), segs.dtype)],
+                          axis=1).astype(jnp.float32)
+
+    def pair(a):
+        flat = a.reshape(N, -1).astype(jnp.float32)
+        return flat, jnp.concatenate([flat[1:], flat[-1:]], axis=0)
+
+    e0, e1 = pair(edc)
+    r0, r1 = pair(ar)
+    i0, i1 = pair(ai)
+    pad = (-N) % block
+    if pad:
+        cyc_hb = jnp.pad(cyc_hb, ((0, pad), (0, 0)))
+        cur = jnp.pad(cur, ((0, 0), (0, pad), (0, 0)))
+        nxt = jnp.pad(nxt, ((0, 0), (0, pad), (0, 0)))
+        e0, e1, r0, r1, i0, i1 = (jnp.pad(a, ((0, pad), (0, 0)))
+                                  for a in (e0, e1, r0, r1, i0, i1))
+    Np = N + pad
+    y = pl.pallas_call(
+        functools.partial(_noise_mod_kernel, C=C, Ke=Ke),
+        grid=(Np // block,),
+        in_specs=[
+            pl.BlockSpec((block, nhop), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
+            pl.BlockSpec((C, block, nhop), lambda i: (0, i, 0)),
+            pl.BlockSpec((C, block, nhop), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, nhop), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, nhop), jnp.float32),
+        interpret=_interpret(),
+    )(cyc_hb, e0, e1, r0, r1, i0, i1, cur, nxt)
+    return y[:N].reshape(N * nhop)
+
+
 def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):
     """Grid step (i, jw): accumulate the projection of window chunk jw of
     frame block i onto all K harmonics; outputs are revisited over jw."""

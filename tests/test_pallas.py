@@ -130,6 +130,30 @@ def test_env_render_pallas_matches_jnp():
                                atol=2e-6)
 
 
+def test_synth_noise_fused_matches_jnp():
+    """The fused noise path (env render + band OLA + modulation + band
+    sum in one kernel) must match the jnp reference bit-closely -- the
+    keyed PRNG makes the comparison deterministic."""
+    import jax
+
+    x, f0 = testsig.make_test_utterance(duration=0.5, seed=4,
+                                        noise_level=0.1,
+                                        unvoiced_tail_frac=0.2)
+    opt = create_aoptions()
+    ch = layer0.analyze(opt, x, f0)
+    conf = ch.conf
+    nhop = conf.nhop
+    nx = ch.nfrm * nhop
+    from libllsm2_tpu.ops import harmonics as hm
+    cyc = hm.sample_cycles(ch.f0, nhop, conf.fs, nx)
+    key = jax.random.PRNGKey(7)
+    y_ref = np.asarray(layer0._synth_noise(ch, cyc, nx, key, conf.fs,
+                                           nhop, use_pallas=False))
+    y_pl = np.asarray(layer0._synth_noise(ch, cyc, nx, key, conf.fs,
+                                          nhop, use_pallas=True))
+    np.testing.assert_allclose(y_pl, y_ref, atol=5e-5)
+
+
 def test_harmonic_project_skip_matches_full():
     """[lo, hi) window-block skipping must be exact when the entries
     outside the interval are zero (centered pitch-synchronous windows)."""
