@@ -272,7 +272,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
         f0_ref = harmonics.refine_f0(
             x, f0, centers, fs=conf.fs, halfwin_max=conf.halfwin_max,
             rel_winsize=conf.rel_winsize, use_pallas=opt.use_pallas,
-            nhop=nhop)
+            nhop=nhop, f0_ceil=conf.f0_ceil)
         S = opt.f0_refine_smooth
         if S > 1:
             # voicing-masked moving average of the refine CORRECTION:

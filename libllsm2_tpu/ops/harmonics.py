@@ -298,6 +298,7 @@ def refine_f0(
     max_rel_dev: float = 0.05,
     use_pallas: bool = False,
     nhop: int | None = None,
+    f0_ceil: float = 600.0,
 ) -> jnp.ndarray:
     """Refine F0 by the fundamental's phase slope (phase-vocoder style).
 
@@ -317,7 +318,17 @@ def refine_f0(
     delta = max(H // 8, 2)
     dt = 2.0 * delta / fs
 
-    if use_pallas and nhop is not None and nhop % 4 == 0:
+    # fast-path decimation: the largest D with an integral decimated hop
+    # whose lowpass passband (0.45*fs/D) still clears the highest
+    # trackable fundamental -- D=8 at 16 kHz/600 Hz, halving every
+    # decimated-probe buffer vs the original fixed D=4
+    D = 1
+    for cand in (8, 4, 2):
+        if nhop is not None and nhop % cand == 0 \
+                and 0.45 * fs / cand > 1.1 * f0_ceil:
+            D = cand
+            break
+    if use_pallas and nhop is not None and D > 1:
         # Fast path, three measured design points (round 2):
         #  - gather-free framing at uniform centers (frame_hops): ONE wide
         #    buffer (halfwidth extended by the probe offset delta) serves
@@ -326,12 +337,11 @@ def refine_f0(
         #  - plain fused jnp for the K=1 projection (the Pallas kernel
         #    pads K to the 8-row sublane tile -- 8x waste);
         #  - the fundamental lives below ~f0_ceil, so measure it on a
-        #    4x LOWPASS-DECIMATED signal: one FFT-mask lowpass at
-        #    0.45*fs/4 removes everything that could alias, then every
-        #    transcendental below runs on a quarter of the samples.
+        #    LOWPASS-DECIMATED signal: one FFT-mask lowpass at
+        #    0.45*fs/D removes everything that could alias, then every
+        #    transcendental below runs on 1/D of the samples.
         #    Refine was the largest analysis component (0.032 of 0.072 s)
         #    before this; same estimator, same window SPAN in seconds.
-        D = 4
         fs_d = fs / D
         nx = x.shape[0]
         X = jnp.fft.rfft(x.astype(jnp.float32))
