@@ -458,6 +458,96 @@ def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
     return y[:N].reshape(N * nhop)
 
 
+def _deconv_kernel(t_ref, xr_ref, xi_ref, re3_p, re3_c, re3_n,
+                   im3_p, im3_c, im3_n, or_ref, oi_ref, *, D):
+    """Banded frame-matvec of the amplitude-track deconvolution
+    (layer0._deconv_correction): out[i] = sum_d T[i,d] c[i+d]
+    + X[i,d] c_up[i+d] + conj(X[i,d]) c_dn[i+d], where c_up/c_dn are
+    k +- 1 lane shifts.  Neighbor frame rows come from the previous/next
+    block of a zero-block-padded input (three index maps on the same
+    array), so no [N, K] shift copies ever reach HBM -- the jnp
+    formulation's 15 pad/slice copies were the correction's entire
+    cost."""
+    F = re3_c.shape[0]
+    sm_re = jnp.zeros_like(re3_c[:])
+    sm_im = jnp.zeros_like(sm_re)
+    zcol_shape = (F, 1)
+
+    for j, d in enumerate(range(-D, D + 1)):
+        if d < 0:
+            vre = jnp.concatenate([re3_p[F + d:, :], re3_c[:F + d, :]], 0)
+            vim = jnp.concatenate([im3_p[F + d:, :], im3_c[:F + d, :]], 0)
+        elif d > 0:
+            vre = jnp.concatenate([re3_c[d:, :], re3_n[:d, :]], 0)
+            vim = jnp.concatenate([im3_c[d:, :], im3_n[:d, :]], 0)
+        else:
+            vre = re3_c[:]
+            vim = im3_c[:]
+        z = jnp.zeros(zcol_shape, jnp.float32)
+        up_re = jnp.concatenate([vre[:, 1:], z], 1)     # c'_{k+1}
+        up_im = jnp.concatenate([vim[:, 1:], z], 1)
+        dn_re = jnp.concatenate([z, vre[:, :-1]], 1)    # c'_{k-1}
+        dn_im = jnp.concatenate([z, vim[:, :-1]], 1)
+        tb = t_ref[:, j:j + 1]
+        xr = xr_ref[:, j:j + 1]
+        xi = xi_ref[:, j:j + 1]
+        sm_re = sm_re + tb * vre + xr * up_re - xi * up_im \
+            + xr * dn_re + xi * dn_im
+        sm_im = sm_im + tb * vim + xr * up_im + xi * up_re \
+            + xr * dn_im - xi * dn_re
+    or_ref[:] = sm_re
+    oi_ref[:] = sm_im
+
+
+@functools.partial(jax.jit, static_argnames=("D", "block"))
+def deconv_band_pallas(c_re: jnp.ndarray, c_im: jnp.ndarray,
+                       t_band: jnp.ndarray, x_re: jnp.ndarray,
+                       x_im: jnp.ndarray, D: int,
+                       block: int = FRAME_BLOCK):
+    """(S c')[N, K] for the deconvolution's banded operator: T (temporal
+    band, real) on c', X (complex) on the k+1 lane shift, conj(X) on the
+    k-1 shift.  c_re/c_im [N, K]; t_band/x_re/x_im [N, 2D+1]."""
+    N, K = c_re.shape
+    pad = (-N) % block
+    Np = N + pad
+
+    def padded3(a):     # zero block on each side: maps i, i+1, i+2
+        return jnp.pad(a.astype(jnp.float32),
+                       ((block, pad + block), (0, 0)))
+
+    re3 = padded3(c_re)
+    im3 = padded3(c_im)
+    bands = [jnp.pad(b.astype(jnp.float32), ((0, pad), (0, 0)))
+             for b in (t_band, x_re, x_im)]
+    nb = Np // block
+    B = 2 * D + 1
+    out_re, out_im = pl.pallas_call(
+        functools.partial(_deconv_kernel, D=D),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, B), lambda i: (i, 0)),
+            pl.BlockSpec((block, B), lambda i: (i, 0)),
+            pl.BlockSpec((block, B), lambda i: (i, 0)),
+            pl.BlockSpec((block, K), lambda i: (i, 0)),
+            pl.BlockSpec((block, K), lambda i: (i + 1, 0)),
+            pl.BlockSpec((block, K), lambda i: (i + 2, 0)),
+            pl.BlockSpec((block, K), lambda i: (i, 0)),
+            pl.BlockSpec((block, K), lambda i: (i + 1, 0)),
+            pl.BlockSpec((block, K), lambda i: (i + 2, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, K), lambda i: (i, 0)),
+            pl.BlockSpec((block, K), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((Np, K), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(bands[0], bands[1], bands[2], re3, re3, re3, im3, im3, im3)
+    return out_re[:N], out_im[:N]
+
+
 def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):
     """Grid step (i, jw): accumulate the projection of window chunk jw of
     frame block i onto all K harmonics; outputs are revisited over jw."""

@@ -198,6 +198,31 @@ def test_env_decimation_matches_full_rate():
     np.testing.assert_allclose(e4, e1[:, ::4], atol=2e-5 + 1e-3 * e1.max())
 
 
+def test_env_decimation_fallbacks():
+    """_env_decimation must refuse decimations whose alias windows a
+    channel straddles, or that do not divide the hop."""
+    from libllsm2_tpu import ChunkConf
+
+    conf = ChunkConf()
+    assert layer0._env_decimation(conf, 4) == 4
+    assert layer0._env_decimation(conf, 1) == 1
+    # a channel straddling the fs/4 alias boundary (4000 Hz) forces D=2
+    # (boundaries at fs/2 alias windows are fine), then a straddle of
+    # fs/2 forces D=1
+    c2 = ChunkConf(nchannel=2, chanfreq=(3000.0,))
+    assert layer0._env_decimation(c2, 4) == 2        # 3000..8000 straddles 4k
+    # hop not divisible: thop chosen so nhop = 81
+    c3 = ChunkConf(thop=81.0 / 16000.0)
+    assert c3.nhop == 81
+    assert layer0._env_decimation(c3, 4) == 1
+    # analysis still runs end-to-end on a fallback conf
+    import dataclasses
+    x, f0 = testsig.make_test_utterance(duration=0.3)
+    opt = dataclasses.replace(create_aoptions(), conf=c2)
+    ch = layer0.analyze(opt, x, f0)
+    assert np.all(np.isfinite(np.asarray(ch.eenv_a)))
+
+
 def test_batched_api(fixture_harm):
     import jax.numpy as jnp
     from libllsm2_tpu import analyze_batch, synthesize_batch

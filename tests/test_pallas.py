@@ -130,6 +130,37 @@ def test_env_render_pallas_matches_jnp():
                                atol=2e-6)
 
 
+def test_deconv_band_pallas_matches_jnp():
+    """The banded-matvec kernel (block-halo index maps + lane shifts)
+    must match the jnp shift formulation of the deconvolution operator."""
+    rng = np.random.default_rng(13)
+    N, K, D = 300, 40, 7
+    c = (rng.standard_normal((N, K)) + 1j * rng.standard_normal((N, K))
+         ).astype(np.complex64)
+    T = rng.uniform(-0.2, 0.6, (N, 2 * D + 1)).astype(np.float32)
+    X = (0.05 * (rng.standard_normal((N, 2 * D + 1))
+                 + 1j * rng.standard_normal((N, 2 * D + 1)))
+         ).astype(np.complex64)
+    # jnp reference
+    c_up = np.pad(c, ((0, 0), (0, 1)))[:, 1:]
+    c_dn = np.pad(c, ((0, 0), (1, 0)))[:, :K]
+    ref = np.zeros_like(c)
+    for j, d in enumerate(range(-D, D + 1)):
+        def sh(v):
+            if d > 0:
+                return np.pad(v, ((0, d), (0, 0)))[d:]
+            if d < 0:
+                return np.pad(v, ((-d, 0), (0, 0)))[:N]
+            return v
+        ref += (T[:, j:j + 1] * sh(c) + X[:, j:j + 1] * sh(c_up)
+                + np.conj(X[:, j:j + 1]) * sh(c_dn))
+    got_re, got_im = pallas_osc.deconv_band_pallas(
+        jnp.asarray(c.real), jnp.asarray(c.imag), jnp.asarray(T),
+        jnp.asarray(X.real), jnp.asarray(X.imag), D)
+    np.testing.assert_allclose(np.asarray(got_re), ref.real, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_im), ref.imag, atol=2e-5)
+
+
 def test_synth_noise_fused_matches_jnp():
     """The fused noise path (env render + band OLA + modulation + band
     sum in one kernel) must match the jnp reference bit-closely -- the
