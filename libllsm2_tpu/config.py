@@ -98,11 +98,11 @@ class AnalysisOptions:
     hm_passes: int = 1           # Gauss-Seidel re-analysis passes of the
                                  # residual (leakage cancellation; 1 = single
                                  # pass like the reference).  The default is
-                                 # now 1 + hm_correction="gram": the analytic
-                                 # correction equals the pass-2 update to
-                                 # second order (same Newton step) at ~1/10th
-                                 # the cost.  Set hm_passes=2 to force the
-                                 # explicit render+reproject pass.
+                                 # 1 + hm_correction="deconv": the analytic
+                                 # correction applies the same operator as
+                                 # the pass-2 update at ~1/6th the cost.
+                                 # Set hm_passes=2 to force the explicit
+                                 # render+reproject pass.
     hm_correction: str = "deconv"
                                  # "deconv" | "none".  "deconv" (with
                                  # hm_passes == 1, hm_method "czt"):
@@ -135,18 +135,22 @@ class AnalysisOptions:
     frame_chunk: int = 0         # >0: chunk the projection over frames
                                  # (bounds peak HBM; needed for very large
                                  # batch x duration products)
-    env_decimate: int = 4        # band-envelope analysis decimation D:
+    env_decimate: int = 4        # band-envelope analysis decimation D
+                                 # (power of two; rounded down otherwise):
                                  # each noise channel's analytic envelope
                                  # is complex-demodulated to fs/D (exact
                                  # when the band fits one alias window --
                                  # see layer0._band_envelopes), shrinking
                                  # the envelope projections and FFTs by D.
-                                 # Envelope harmonics are masked to
-                                 # k*f0 < 0.4*fs/D (only affects extreme
-                                 # F0 > 0.1*fs/D voices).  1 = full rate.
-                                 # Falls back to 1 when a channel straddles
-                                 # an alias boundary or D does not divide
-                                 # the hop.
+                                 # TRADEOFF: envelope harmonics are masked
+                                 # to k*f0 < 0.4*fs/D, so voices with
+                                 # F0 above 0.1*fs/D (400 Hz at the 16 kHz
+                                 # default) lose their top temporal-noise
+                                 # harmonics; set env_decimate=2 or 1 for
+                                 # high-pitched voices.  Falls back to a
+                                 # smaller power of two when a channel
+                                 # straddles an alias boundary or D does
+                                 # not divide the hop.
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
     track_lowpass_hz: float = 0.0

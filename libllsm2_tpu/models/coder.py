@@ -45,7 +45,8 @@ class CoderConfig:
 
     @property
     def dims(self) -> int:
-        return self.layout()[-1][1] + self.layout()[-1][2]
+        _, off, size = self.layout()[-1]
+        return off + size
 
     def layout(self):
         """(name, start, size) triples describing the vector layout."""

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import AnalysisOptions, ChunkConf, SynthesisOptions
 from ..container import Chunk
-from ..ops import harmonics, interp, spectral, warp
+from ..ops import harmonics, interp, spectral, warp, windows
 
 
 class SynthResult(NamedTuple):
@@ -45,11 +45,15 @@ class SynthResult(NamedTuple):
 
 def _env_decimation(conf: ChunkConf, requested: int) -> int:
     """Largest valid envelope decimation <= requested (see
-    AnalysisOptions.env_decimate): D must divide the hop and every noise
-    channel's band must fit inside one alias window [m*fs/D, (m+1)*fs/D)
-    so the complex-demodulated decimation is exact."""
+    AnalysisOptions.env_decimate): D must be a power of two (the spectrum
+    fold in _band_envelopes tiles the next_pow2 FFT grid, so only
+    power-of-two D divide it), divide the hop, and every noise channel's
+    band must fit inside one alias window [m*fs/D, (m+1)*fs/D) so the
+    complex-demodulated decimation is exact."""
     edges = conf.chan_edges
-    D = max(int(requested), 1)
+    D = 1
+    while 2 * D <= max(int(requested), 1):
+        D *= 2                     # largest power of two <= requested
     while D > 1:
         fs_d = conf.fs / D
         ok = conf.nhop % D == 0
@@ -125,29 +129,54 @@ def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
     return pgram @ band_mat.T
 
 
+def _shift_rows(v, d: int, n: int):
+    """v[i] -> v[i+d] along the leading (frame) axis, zero-padded."""
+    if d > 0:
+        return jnp.pad(v, ((0, d),) + ((0, 0),) * (v.ndim - 1))[d:]
+    if d < 0:
+        return jnp.pad(v, ((-d, 0),) + ((0, 0),) * (v.ndim - 1))[:n]
+    return v
+
+
+def _aligned_track(ampl, phse, cyc, centers):
+    """Phase-aligned complex amplitude tracks c'_k[i] = a e^{j phi}
+    e^{-2 pi j k cyc[c_i]} (mod-1 phase args) and the alignment field."""
+    K = ampl.shape[1]
+    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    ph = kharm[None, :] * cyc[centers][:, None]
+    ph = ph - jnp.round(ph)
+    align = jnp.exp(-2j * jnp.pi * ph)
+    return ampl * jnp.exp(1j * phse) * align, align
+
+
 def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
                        mask):
     """Analytic amplitude-track deconvolution (hm_correction="deconv").
 
     What the Gauss-Seidel render+reproject pass actually fixes is NOT
-    inter-harmonic leakage -- the chirped basis is near-orthogonal under
-    the pitch-synchronous window (its Gram off-diagonals measure ~1e-3)
-    -- but TEMPORAL smoothing of each harmonic's amplitude track: the
-    ~4-period window averages a time-varying amplitude (shimmer, or the
-    envelope sweeping under vibrato) over ~+-2 hops.  In the
-    phase-aligned complex-track domain c'_k[j] = c_k[j] e^{-2 pi j k
-    cyc[c_j]}, measurement-after-render is a REAL, k-independent banded
-    frame matrix
+    static inter-harmonic leakage -- the chirped basis is near-orthogonal
+    under the pitch-synchronous window (its Gram off-diagonals measure
+    ~1e-3) -- but the effect of each harmonic's amplitude track VARYING:
+    (a) TEMPORAL smoothing: the ~4-period window averages the track over
+    ~+-2 hops; (b) CROSS-HARMONIC coupling: the variation's AM sidebands
+    land on the neighbor harmonic's projection.  In the phase-aligned
+    complex-track domain c'_k[j] = c_k[j] e^{-2 pi j k cyc[c_j]}, the
+    measurement-after-render operator is k-independent and banded:
 
-        T[i, i+d] = sum_n w_i(n) * w_ola(n - d*nhop) / wsum_i
+        T[i, i+d] = sum_n w_i(n) * w_ola(n - d*nhop) / wsum_i   (real;
+            rows sum to 1; verified == the measured operator rows to 4
+            decimals, even under vibrato)
+        X[i, i+d] = sum_n w_i(n) * w_ola(n - d*nhop)
+                    * e^{2 pi j cyc(n)} / wsum_i   (couples k -> k+1;
+            its conjugate couples k -> k-1; ~0.02 per unit variation)
 
-    (analysis window x synthesis OLA crossfade overlap; rows sum to 1),
-    so one Neumann step  c' <- 2 c_hat' - T c_hat'  applies 2S - S^2 --
-    exactly the operator of the Gauss-Seidel pass (hm_passes=2) -- at the
-    cost of a tiny banded matvec along frames instead of a full
-    oscillator render + K-wide re-projection (measured 19.5 -> ~1 ms per
-    step, batch 32 x 8 s, v5e).  Reference: layer0.c has no analog; its
-    single-pass analysis keeps the smoothing."""
+    so one Neumann step  c' <- 2 c_hat' - S c_hat'  applies 2S - S^2 --
+    the exact operator of the Gauss-Seidel pass (hm_passes=2), matching
+    it within 0.3 dB on all stressed fixtures -- at the cost of a banded
+    matvec along frames instead of a full oscillator render + K-wide
+    re-projection (~3 vs 19.5 ms per step, batch 32 x 8 s, v5e).
+    Reference: layer0.c has no analog; its single-pass analysis keeps
+    the smoothing."""
     conf = opt.conf
     nhop = conf.nhop
     N, K = ampl.shape
@@ -167,14 +196,14 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
     # ~1e-3 relative -- and the row normalization absorbs the overall
     # quadrature scale exactly.  (The dense [N, 2D+1, 2*nhop] build cost
     # ~9 ms/step at batch 32; this is ~1 ms.)
-    stride = 8
+    stride = max(min(8, nhop), 1)
     nq = (2 * nhop) // stride
     r = (-nhop + (jnp.arange(nq, dtype=jnp.float32) + 0.5) * stride)
     w_ola = (0.5 + 0.5 * jnp.cos(jnp.pi * r / nhop))[None, None, :]
     d_off = jnp.arange(-D, D + 1, dtype=jnp.float32)        # [2D+1]
     n_abs = d_off[None, :, None] * nhop + r[None, None, :]  # [1, 2D+1, nq]
-    from ..ops import windows as _win
-    w_i = _win.window_centered("hanning", n_abs, halfwidth[:, None, None])
+    w_i = windows.window_centered("hanning", n_abs,
+                                  halfwidth[:, None, None])
     P = w_i * w_ola                                         # [N, 2D+1, nq]
     # rows sum to (wsum_i / stride) exactly in the limit (w_ola partitions
     # unity at 50% overlap and the bands cover the whole window support),
@@ -191,37 +220,22 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
     # dk = -1 kernel is its conjugate.  GS captures this coupling by
     # construction; without it the deconv left 3-7 dB on clean modulated
     # fixtures.
-    from ..ops.harmonics import frame_hops
-    C2 = frame_hops(cyc, f0.shape[0], nhop, 1, mode="edge")  # [N, 2*nhop]
+    C2 = harmonics.frame_hops(cyc, N, nhop, 1, mode="edge")  # [N, 2*nhop]
     q_idx = (jnp.arange(nq) * stride + stride // 2)
     eq = jnp.exp(2j * jnp.pi * C2[:, q_idx])                # [N, nq]
 
-    N = f0.shape[0]
-
-    def shift_rows(v, d):
-        if d > 0:
-            return jnp.pad(v, ((0, d),) + ((0, 0),) * (v.ndim - 1))[d:]
-        if d < 0:
-            return jnp.pad(v, ((-d, 0),) + ((0, 0),) * (v.ndim - 1))[:N]
-        return v
-
     Pn = P / tot
     X_band = jnp.stack([
-        jnp.sum(Pn[:, j] * shift_rows(eq, d), axis=-1)
+        jnp.sum(Pn[:, j] * _shift_rows(eq, d, N), axis=-1)
         for j, d in enumerate(range(-D, D + 1))], axis=1)   # [N, 2D+1] cplx
 
-    # phase alignment: c'_k[i] = c_k[i] e^{-2 pi j k cyc_i} (mod-1 args)
-    K = ampl.shape[1]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
-    cyc_c = cyc[centers]                                    # [N]
-    ph = kharm[None, :] * cyc_c[:, None]
-    ph = ph - jnp.round(ph)
-    align = jnp.exp(-2j * jnp.pi * ph)                      # [N, K]
-    c = ampl * jnp.exp(1j * phse) * align                   # c_hat' [N, K]
+    c, align = _aligned_track(ampl, phse, cyc, centers)     # c_hat' [N, K]
 
-    if opt.use_pallas:
+    if opt.use_pallas and D <= 128:
         # banded matvec in VMEM: neighbor frames via block index maps,
-        # k +- 1 via lane shifts -- no [N, K] shift copies in HBM
+        # k +- 1 via lane shifts -- no [N, K] shift copies in HBM.
+        # (The kernel's halo is one frame block, so D must not exceed
+        # it; D > 128 would need a hop under 4 samples.)
         from ..ops.pallas_osc import deconv_band_pallas
         sm_re, sm_im = deconv_band_pallas(
             c.real, c.imag, T_band, X_band.real, X_band.imag, D)
@@ -236,7 +250,7 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
         Sm = jnp.zeros_like(c)
         Xc_band = jnp.conj(X_band)
         for j, d in enumerate(range(-D, D + 1)):
-            sh = shift_rows(cat, d)
+            sh = _shift_rows(cat, d, N)
             Sm = Sm + T_band[:, j:j + 1] * sh[:, :K] \
                 + X_band[:, j:j + 1] * sh[:, K:2 * K] \
                 + Xc_band[:, j:j + 1] * sh[:, 2 * K:]
@@ -251,28 +265,19 @@ def _track_lowpass(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     Hann-FIR lowpass of each harmonic's phase-aligned complex amplitude
     track along frames, applied only where the whole filter support is
     voiced.  See the config docstring for the measured tradeoff."""
-    N, K = ampl.shape
+    N = ampl.shape[0]
     frame_rate = 1.0 / conf.thop
     M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
     w = jnp.hanning(M + 2)[1:-1].astype(jnp.float32)
     w = w / jnp.sum(w)
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
-    ph = kharm[None, :] * cyc[centers][:, None]
-    ph = ph - jnp.round(ph)
-    align = jnp.exp(-2j * jnp.pi * ph)
-    c = ampl * jnp.exp(1j * phse) * align
+    c, align = _aligned_track(ampl, phse, cyc, centers)
     voiced = (f0 > 0).astype(jnp.float32)
     h = M // 2
 
     def fir(v):
         out = jnp.zeros_like(v)
         for j in range(M):
-            d = j - h
-            if d >= 0:
-                sh = jnp.pad(v, ((0, d),) + ((0, 0),) * (v.ndim - 1))[d:]
-            else:
-                sh = jnp.pad(v, ((-d, 0),) + ((0, 0),) * (v.ndim - 1))[:N]
-            out = out + w[j] * sh
+            out = out + w[j] * _shift_rows(v, j - h, N)
         return out
 
     cs = fir(c)

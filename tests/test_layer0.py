@@ -215,6 +215,19 @@ def test_env_decimation_fallbacks():
     c3 = ChunkConf(thop=81.0 / 16000.0)
     assert c3.nhop == 81
     assert layer0._env_decimation(c3, 4) == 1
+    # non-power-of-two requests round DOWN to a power of two: the
+    # spectrum fold tiles the next_pow2 FFT grid, which D=5 does not
+    # divide (code-review finding: D=5 used to pass validation and crash
+    # _band_envelopes at trace time)
+    assert layer0._env_decimation(conf, 5) == 4
+    assert layer0._env_decimation(conf, 10) == 8
+    c5 = ChunkConf(nchannel=3, chanfreq=(3200.0, 6400.0))
+    assert layer0._env_decimation(c5, 5) == 2     # [3200,6400) straddles 4k
+    x5, f05 = testsig.make_test_utterance(duration=0.3)
+    import dataclasses as _dc
+    ch5 = layer0.analyze(_dc.replace(create_aoptions(), conf=c5,
+                                     env_decimate=5), x5, f05)
+    assert np.all(np.isfinite(np.asarray(ch5.eenv_a)))
     # analysis still runs end-to-end on a fallback conf
     import dataclasses
     x, f0 = testsig.make_test_utterance(duration=0.3)
