@@ -32,8 +32,13 @@ import numpy as np
 BASELINE_X_REALTIME = 500.0
 
 
-def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=4,
+def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=16,
          passes=0):
+    # repeats: pipeline steps per lax.scan dispatch.  The relay's
+    # per-dispatch marshaling (~30-50 ms at batch 128) is an artifact of
+    # this image's remote-device tunnel, not chip throughput; R=16
+    # amortizes it below 2 ms/step (R=4 still left ~8 ms/step in the
+    # number -- measured 7242x -> 7566x on identical code).
     import jax
     import jax.numpy as jnp
 
