@@ -198,6 +198,24 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
     # ~9 ms/step at batch 32; this is ~1 ms.)
     stride = max(min(8, nhop), 1)
     nq = (2 * nhop) // stride
+
+    if opt.use_pallas and D <= 128:
+        # fully fused path: band build, phase alignment, banded Neumann
+        # step and back-conversion all inside one kernel -- only the raw
+        # (ampl, phse), the per-frame cyc/halfwidth vectors and the tiny
+        # [N, nq] quadrature field of e^{2 pi j cyc} reach HBM.  (The
+        # kernel's frame halo is one block, so D must not exceed it;
+        # D > 128 would need a hop under 4 samples.)
+        from ..ops.pallas_osc import deconv_full_pallas
+        C2 = harmonics.frame_hops(cyc, N, nhop, 1, mode="edge")
+        q_idx = (jnp.arange(nq) * stride + stride // 2)
+        ang = 2.0 * jnp.pi * C2[:, q_idx]
+        c_re, c_im = deconv_full_pallas(ampl, phse, cyc[centers],
+                                        halfwidth, jnp.cos(ang),
+                                        jnp.sin(ang), D, nhop, stride)
+        return (jnp.sqrt(c_re**2 + c_im**2) * mask,
+                jnp.arctan2(c_im, c_re) * mask)
+
     r = (-nhop + (jnp.arange(nq, dtype=jnp.float32) + 0.5) * stride)
     w_ola = (0.5 + 0.5 * jnp.cos(jnp.pi * r / nhop))[None, None, :]
     d_off = jnp.arange(-D, D + 1, dtype=jnp.float32)        # [2D+1]
@@ -231,29 +249,19 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
 
     c, align = _aligned_track(ampl, phse, cyc, centers)     # c_hat' [N, K]
 
-    if opt.use_pallas and D <= 128:
-        # banded matvec in VMEM: neighbor frames via block index maps,
-        # k +- 1 via lane shifts -- no [N, K] shift copies in HBM.
-        # (The kernel's halo is one frame block, so D must not exceed
-        # it; D > 128 would need a hop under 4 samples.)
-        from ..ops.pallas_osc import deconv_band_pallas
-        sm_re, sm_im = deconv_band_pallas(
-            c.real, c.imag, T_band, X_band.real, X_band.imag, D)
-        Sm = sm_re + 1j * sm_im
-    else:
-        # one row-shift per band: the three kernels (T on c, X on
-        # c_{k+1}, conj(X) on c_{k-1}) share the same frame shifts, so
-        # shift ONE concatenated [N, 3K] array per d instead of three
-        c_up = jnp.pad(c, ((0, 0), (0, 1)))[:, 1:]          # c'_{k+1}
-        c_dn = jnp.pad(c, ((0, 0), (1, 0)))[:, :K]          # c'_{k-1}
-        cat = jnp.concatenate([c, c_up, c_dn], axis=1)      # [N, 3K]
-        Sm = jnp.zeros_like(c)
-        Xc_band = jnp.conj(X_band)
-        for j, d in enumerate(range(-D, D + 1)):
-            sh = _shift_rows(cat, d, N)
-            Sm = Sm + T_band[:, j:j + 1] * sh[:, :K] \
-                + X_band[:, j:j + 1] * sh[:, K:2 * K] \
-                + Xc_band[:, j:j + 1] * sh[:, 2 * K:]
+    # one row-shift per band: the three kernels (T on c, X on c_{k+1},
+    # conj(X) on c_{k-1}) share the same frame shifts, so shift ONE
+    # concatenated [N, 3K] array per d instead of three
+    c_up = jnp.pad(c, ((0, 0), (0, 1)))[:, 1:]              # c'_{k+1}
+    c_dn = jnp.pad(c, ((0, 0), (1, 0)))[:, :K]              # c'_{k-1}
+    cat = jnp.concatenate([c, c_up, c_dn], axis=1)          # [N, 3K]
+    Sm = jnp.zeros_like(c)
+    Xc_band = jnp.conj(X_band)
+    for j, d in enumerate(range(-D, D + 1)):
+        sh = _shift_rows(cat, d, N)
+        Sm = Sm + T_band[:, j:j + 1] * sh[:, :K] \
+            + X_band[:, j:j + 1] * sh[:, K:2 * K] \
+            + Xc_band[:, j:j + 1] * sh[:, 2 * K:]
     c2 = 2.0 * c - Sm
     c2 = c2 * jnp.conj(align)
     return jnp.abs(c2) * mask, jnp.angle(c2) * mask

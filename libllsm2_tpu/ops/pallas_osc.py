@@ -458,83 +458,147 @@ def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
     return y[:N].reshape(N * nhop)
 
 
-def _deconv_kernel(t_ref, xr_ref, xi_ref, re3_p, re3_c, re3_n,
-                   im3_p, im3_c, im3_n, or_ref, oi_ref, *, D):
-    """Banded frame-matvec of the amplitude-track deconvolution
-    (layer0._deconv_correction): out[i] = sum_d T[i,d] c[i+d]
-    + X[i,d] c_up[i+d] + conj(X[i,d]) c_dn[i+d], where c_up/c_dn are
-    k +- 1 lane shifts.  Neighbor frame rows come from the previous/next
-    block of a zero-block-padded input (three index maps on the same
-    array), so no [N, K] shift copies ever reach HBM -- the jnp
-    formulation's 15 pad/slice copies were the correction's entire
-    cost."""
-    F = re3_c.shape[0]
-    sm_re = jnp.zeros_like(re3_c[:])
-    sm_im = jnp.zeros_like(sm_re)
-    zcol_shape = (F, 1)
+def _deconv_full_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
+                        hw_ref, eq_p, eq_c, eq_n, oa_ref, op_ref,
+                        *, D, nhop, stride, nq):
+    """Whole amplitude-track deconvolution in one grid step (layer0.
+    _deconv_correction, Pallas path): builds the T/X bands from the
+    per-frame halfwidth and the cyc-modulated quadrature field, forms the
+    phase-aligned complex tracks of this block and its neighbors from raw
+    (ampl, phse, cyc_c), applies the banded Neumann step 2c - Sc with
+    k +- 1 lane shifts, and converts back to (ampl, phse) -- nothing but
+    the raw chunk fields and two tiny per-frame vectors ever reach HBM."""
+    F, K = a_c.shape
+    kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
+          ).astype(jnp.float32)
 
+    def track(a_ref, p_ref, c_ref):
+        # c' = a e^{j phi} e^{-2 pi j k cyc}, mod-1 phase argument
+        ph = p_ref[:] / TWO_PI - c_ref[:] * kh
+        ph = ph - jnp.round(ph)
+        ang = TWO_PI * ph
+        a = a_ref[:]
+        return a * jnp.cos(ang), a * jnp.sin(ang)
+
+    cre_p, cim_p = track(a_p, p_p, cy_p)
+    cre_c, cim_c = track(a_c, p_c, cy_c)
+    cre_n, cim_n = track(a_n, p_n, cy_n)
+
+    # T/X bands for this block's frames: P[f, d, q] = w_i * w_ola at the
+    # stride-quadrature points; X modulates by e^{2 pi j cyc(n)} whose
+    # quadrature field eq comes in per frame row (neighbor rows via the
+    # same three-block trick)
+    r = (-nhop + (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
+                  .astype(jnp.float32) + 0.5) * stride)      # [1, nq]
+    w_ola = 0.5 + 0.5 * jnp.cos((jnp.pi / nhop) * r)         # [1, nq]
+    hw = hw_ref[:]                                           # [F, 1]
+    sm_re = jnp.zeros_like(cre_c)
+    sm_im = jnp.zeros_like(cre_c)
+    t_acc = jnp.zeros((F, 1), jnp.float32)
+    tb_all = []
+    xr_all = []
+    xi_all = []
+    for j, d in enumerate(range(-D, D + 1)):
+        u = ((d * nhop + r) / hw + 1.0) * 0.5                # [F, nq]
+        w = jnp.where((u >= 0.0) & (u <= 1.0),
+                      0.5 - 0.5 * jnp.cos(TWO_PI * u), 0.0)
+        P = w * w_ola                                        # [F, nq]
+        if d < 0:
+            er = jnp.concatenate([eq_p[F + d:, :nq], eq_c[:F + d, :nq]], 0)
+            ei = jnp.concatenate([eq_p[F + d:, nq:], eq_c[:F + d, nq:]], 0)
+        elif d > 0:
+            er = jnp.concatenate([eq_c[d:, :nq], eq_n[:d, :nq]], 0)
+            ei = jnp.concatenate([eq_c[d:, nq:], eq_n[:d, nq:]], 0)
+        else:
+            er = eq_c[:, :nq]
+            ei = eq_c[:, nq:]
+        tb = jnp.sum(P, axis=-1, keepdims=True)              # [F, 1]
+        xr = jnp.sum(P * er, axis=-1, keepdims=True)
+        xi = jnp.sum(P * ei, axis=-1, keepdims=True)
+        t_acc = t_acc + tb
+        tb_all.append(tb)
+        xr_all.append(xr)
+        xi_all.append(xi)
+    inv = 1.0 / jnp.maximum(t_acc, 1e-9)                     # 1/wsum
+
+    z = jnp.zeros((F, 1), jnp.float32)
     for j, d in enumerate(range(-D, D + 1)):
         if d < 0:
-            vre = jnp.concatenate([re3_p[F + d:, :], re3_c[:F + d, :]], 0)
-            vim = jnp.concatenate([im3_p[F + d:, :], im3_c[:F + d, :]], 0)
+            vre = jnp.concatenate([cre_p[F + d:], cre_c[:F + d]], 0)
+            vim = jnp.concatenate([cim_p[F + d:], cim_c[:F + d]], 0)
         elif d > 0:
-            vre = jnp.concatenate([re3_c[d:, :], re3_n[:d, :]], 0)
-            vim = jnp.concatenate([im3_c[d:, :], im3_n[:d, :]], 0)
+            vre = jnp.concatenate([cre_c[d:], cre_n[:d]], 0)
+            vim = jnp.concatenate([cim_c[d:], cim_n[:d]], 0)
         else:
-            vre = re3_c[:]
-            vim = im3_c[:]
-        z = jnp.zeros(zcol_shape, jnp.float32)
-        up_re = jnp.concatenate([vre[:, 1:], z], 1)     # c'_{k+1}
+            vre, vim = cre_c, cim_c
+        up_re = jnp.concatenate([vre[:, 1:], z], 1)
         up_im = jnp.concatenate([vim[:, 1:], z], 1)
-        dn_re = jnp.concatenate([z, vre[:, :-1]], 1)    # c'_{k-1}
+        dn_re = jnp.concatenate([z, vre[:, :-1]], 1)
         dn_im = jnp.concatenate([z, vim[:, :-1]], 1)
-        tb = t_ref[:, j:j + 1]
-        xr = xr_ref[:, j:j + 1]
-        xi = xi_ref[:, j:j + 1]
+        tb = tb_all[j] * inv
+        xr = xr_all[j] * inv
+        xi = xi_all[j] * inv
         sm_re = sm_re + tb * vre + xr * up_re - xi * up_im \
             + xr * dn_re + xi * dn_im
         sm_im = sm_im + tb * vim + xr * up_im + xi * up_re \
             + xr * dn_im - xi * dn_re
-    or_ref[:] = sm_re
-    oi_ref[:] = sm_im
+    c2_re = 2.0 * cre_c - sm_re
+    c2_im = 2.0 * cim_c - sm_im
+    # un-align in-kernel (multiply by e^{+2 pi j k cyc}); the amplitude/
+    # phase conversion happens on the host (Mosaic has no atan2 lowering)
+    pha = cy_c[:] * kh
+    pha = pha - jnp.round(pha)
+    ang_a = TWO_PI * pha
+    ur = jnp.cos(ang_a)
+    ui = jnp.sin(ang_a)
+    oa_ref[:] = c2_re * ur - c2_im * ui
+    op_ref[:] = c2_re * ui + c2_im * ur
 
 
-@functools.partial(jax.jit, static_argnames=("D", "block"))
-def deconv_band_pallas(c_re: jnp.ndarray, c_im: jnp.ndarray,
-                       t_band: jnp.ndarray, x_re: jnp.ndarray,
-                       x_im: jnp.ndarray, D: int,
+@functools.partial(jax.jit, static_argnames=("D", "nhop", "stride",
+                                             "block"))
+def deconv_full_pallas(ampl: jnp.ndarray, phse: jnp.ndarray,
+                       cyc_c: jnp.ndarray, hw: jnp.ndarray,
+                       eq_re: jnp.ndarray, eq_im: jnp.ndarray,
+                       D: int, nhop: int, stride: int,
                        block: int = FRAME_BLOCK):
-    """(S c')[N, K] for the deconvolution's banded operator: T (temporal
-    band, real) on c', X (complex) on the k+1 lane shift, conj(X) on the
-    k-1 shift.  c_re/c_im [N, K]; t_band/x_re/x_im [N, 2D+1]."""
-    N, K = c_re.shape
+    """Fused amplitude-track deconvolution: (ampl, phse) [N, K] (masked),
+    cyc_c [N] (mod-1 cycle at frame centers), hw [N] (window halfwidth),
+    eq_re/eq_im [N, nq] (e^{2 pi j cyc} at the band-quadrature points of
+    each frame's hop) -> the corrected complex harmonics (re, im) [N, K]
+    in the UNALIGNED (absolute-phase) domain; the caller converts to
+    (ampl, phse) and re-masks (Mosaic has no atan2 lowering)."""
+    N, K = ampl.shape
+    nq = eq_re.shape[1]
     pad = (-N) % block
     Np = N + pad
 
-    def padded3(a):     # zero block on each side: maps i, i+1, i+2
-        return jnp.pad(a.astype(jnp.float32),
-                       ((block, pad + block), (0, 0)))
+    def padded3(a, width):
+        a2 = a.reshape(N, -1).astype(jnp.float32)
+        return jnp.pad(a2, ((block, pad + block), (0, 0)))
 
-    re3 = padded3(c_re)
-    im3 = padded3(c_im)
-    bands = [jnp.pad(b.astype(jnp.float32), ((0, pad), (0, 0)))
-             for b in (t_band, x_re, x_im)]
+    a3 = padded3(ampl, K)
+    p3 = padded3(phse, K)
+    cy3 = padded3(cyc_c, 1)
+    eq3 = padded3(jnp.concatenate(
+        [eq_re.astype(jnp.float32), eq_im.astype(jnp.float32)], axis=1),
+        2 * nq)
+    hwp = jnp.pad(hw.astype(jnp.float32), (0, pad),
+                  constant_values=2.0)[:, None]
     nb = Np // block
-    B = 2 * D + 1
-    out_re, out_im = pl.pallas_call(
-        functools.partial(_deconv_kernel, D=D),
+
+    def spec3(width):
+        return [pl.BlockSpec((block, width), lambda i: (i, 0)),
+                pl.BlockSpec((block, width), lambda i: (i + 1, 0)),
+                pl.BlockSpec((block, width), lambda i: (i + 2, 0))]
+
+    out_a, out_p = pl.pallas_call(
+        functools.partial(_deconv_full_kernel, D=D, nhop=nhop,
+                          stride=stride, nq=nq),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block, B), lambda i: (i, 0)),
-            pl.BlockSpec((block, B), lambda i: (i, 0)),
-            pl.BlockSpec((block, B), lambda i: (i, 0)),
-            pl.BlockSpec((block, K), lambda i: (i, 0)),
-            pl.BlockSpec((block, K), lambda i: (i + 1, 0)),
-            pl.BlockSpec((block, K), lambda i: (i + 2, 0)),
-            pl.BlockSpec((block, K), lambda i: (i, 0)),
-            pl.BlockSpec((block, K), lambda i: (i + 1, 0)),
-            pl.BlockSpec((block, K), lambda i: (i + 2, 0)),
-        ],
+        in_specs=(spec3(K) + spec3(K) + spec3(1)
+                  + [pl.BlockSpec((block, 1), lambda i: (i, 0))]
+                  + spec3(2 * nq)),
         out_specs=(
             pl.BlockSpec((block, K), lambda i: (i, 0)),
             pl.BlockSpec((block, K), lambda i: (i, 0)),
@@ -544,8 +608,8 @@ def deconv_band_pallas(c_re: jnp.ndarray, c_im: jnp.ndarray,
             jax.ShapeDtypeStruct((Np, K), jnp.float32),
         ),
         interpret=_interpret(),
-    )(bands[0], bands[1], bands[2], re3, re3, re3, im3, im3, im3)
-    return out_re[:N], out_im[:N]
+    )(a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, hwp, eq3, eq3, eq3)
+    return out_a[:N], out_p[:N]
 
 
 def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):

@@ -130,35 +130,40 @@ def test_env_render_pallas_matches_jnp():
                                atol=2e-6)
 
 
-def test_deconv_band_pallas_matches_jnp():
-    """The banded-matvec kernel (block-halo index maps + lane shifts)
-    must match the jnp shift formulation of the deconvolution operator."""
-    rng = np.random.default_rng(13)
-    N, K, D = 300, 40, 7
-    c = (rng.standard_normal((N, K)) + 1j * rng.standard_normal((N, K))
-         ).astype(np.complex64)
-    T = rng.uniform(-0.2, 0.6, (N, 2 * D + 1)).astype(np.float32)
-    X = (0.05 * (rng.standard_normal((N, 2 * D + 1))
-                 + 1j * rng.standard_normal((N, 2 * D + 1)))
-         ).astype(np.complex64)
-    # jnp reference
-    c_up = np.pad(c, ((0, 0), (0, 1)))[:, 1:]
-    c_dn = np.pad(c, ((0, 0), (1, 0)))[:, :K]
-    ref = np.zeros_like(c)
-    for j, d in enumerate(range(-D, D + 1)):
-        def sh(v):
-            if d > 0:
-                return np.pad(v, ((0, d), (0, 0)))[d:]
-            if d < 0:
-                return np.pad(v, ((-d, 0), (0, 0)))[:N]
-            return v
-        ref += (T[:, j:j + 1] * sh(c) + X[:, j:j + 1] * sh(c_up)
-                + np.conj(X[:, j:j + 1]) * sh(c_dn))
-    got_re, got_im = pallas_osc.deconv_band_pallas(
-        jnp.asarray(c.real), jnp.asarray(c.imag), jnp.asarray(T),
-        jnp.asarray(X.real), jnp.asarray(X.imag), D)
-    np.testing.assert_allclose(np.asarray(got_re), ref.real, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(got_im), ref.imag, atol=2e-5)
+def test_deconv_full_pallas_matches_jnp():
+    """The fully fused deconvolution kernel (band build + alignment +
+    banded Neumann step + back-conversion in one grid step) must match
+    the jnp formulation of _deconv_correction end-to-end."""
+    import jax.numpy as jnp
+    from libllsm2_tpu.ops import harmonics as hm
+
+    x, f0 = testsig.make_test_utterance(duration=0.7, seed=6,
+                                        noise_level=0.05,
+                                        unvoiced_tail_frac=0.2)
+    opt_j = dataclasses.replace(create_aoptions(), use_pallas=False)
+    opt_p = dataclasses.replace(create_aoptions(), use_pallas=True)
+    conf = opt_j.conf
+    nhop = conf.nhop
+    nfrm = len(f0)
+    nx = nfrm * nhop
+    xj = jnp.asarray(x[:nx], jnp.float32)
+    f0j = jnp.asarray(f0, jnp.float32)
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+    cyc = hm.sample_cycles(f0j, nhop, conf.fs, nx)
+    ampl, phse, mask = hm.harmonic_analysis(
+        xj, f0j, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
+        halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
+        fnyq=conf.fnyq, nhop=nhop)
+    a_j, p_j = layer0._deconv_correction(opt_j, f0j, centers, cyc,
+                                         ampl, phse, mask)
+    a_p, p_p = layer0._deconv_correction(opt_p, f0j, centers, cyc,
+                                         ampl, phse, mask)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j),
+                               atol=2e-4)
+    # compare phases via the complex vectors (wrapping-safe)
+    z_j = np.asarray(a_j) * np.exp(1j * np.asarray(p_j))
+    z_p = np.asarray(a_p) * np.exp(1j * np.asarray(p_p))
+    np.testing.assert_allclose(z_p, z_j, atol=5e-4)
 
 
 def test_synth_noise_fused_matches_jnp():
