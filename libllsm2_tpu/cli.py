@@ -71,7 +71,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from . import create_soptions
-    from .models import coder, edits, layer0, layer1, pbp
+    from .models import edits, layer0, layer1, pbp
     from .utils import audio, serialize
 
     if args.cmd == "track-f0":
