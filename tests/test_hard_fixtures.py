@@ -64,20 +64,24 @@ class TestHardRegisters:
 
     def test_noiseless_stressed(self, reg):
         """Jitter+shimmer+glide+burst, no breath noise: the harmonic
-        model alone must carry the signal."""
+        model alone must carry the signal.  Floors tightened after the
+        deconv correction reached Gauss-Seidel parity (measured
+        44.2/55.7/52.7 dB; ~2.5 dB margin)."""
         x, f0, xh, ysin, y = _roundtrip(reg, noise_level=0.0)
         lo, hi = _core(f0)
         snr = metrics.snr_db(xh[lo:hi], ysin[lo:hi], trim=0.0)
-        floor = 40.0 if reg == "male" else 48.0
+        floor = {"male": 41.5, "female": 53.0, "child": 50.0}[reg]
         assert snr > floor, (reg, snr)
 
     def test_no_jitter_above_45db(self, reg):
-        """Without jitter the stressed round trip must exceed 45 dB in
-        every register (shimmer + glide + burst still on)."""
+        """Without jitter the stressed round trip must far exceed the
+        40 dB north star in every register (shimmer + glide + burst
+        still on; measured 49.7/68.2/53.6 dB)."""
         x, f0, xh, ysin, y = _roundtrip(reg, noise_level=0.0, jitter=0.0)
         lo, hi = _core(f0)
         snr = metrics.snr_db(xh[lo:hi], ysin[lo:hi], trim=0.0)
-        assert snr > 45.0, (reg, snr)
+        floor = {"male": 47.0, "female": 62.0, "child": 51.0}[reg]
+        assert snr > floor, (reg, snr)
         n = min(len(x), len(y))
         lsd = metrics.log_spectral_distance_db(x[:n], y[:n],
                                                smooth_bins=16)
