@@ -43,23 +43,29 @@ class SynthResult(NamedTuple):
 # analysis
 # ---------------------------------------------------------------------------
 
-def _env_decimation(conf: ChunkConf, requested: int) -> int:
+def _env_decimation(conf: ChunkConf, requested: int, nx: int) -> int:
     """Largest valid envelope decimation <= requested (see
     AnalysisOptions.env_decimate): D must be a power of two (the spectrum
     fold in _band_envelopes tiles the next_pow2 FFT grid, so only
     power-of-two D divide it), divide the hop, and every noise channel's
-    band must fit inside one alias window [m*fs/D, (m+1)*fs/D) so the
-    complex-demodulated decimation is exact."""
+    band must fit inside one alias window so the complex-demodulated
+    decimation is exact.  The containment check runs on the ACTUAL FFT-bin
+    indices _band_envelopes will fold (nfft = next_pow2(nx)) -- an Hz-grid
+    check can disagree with the ceil-rounded bin grid by one bin at an
+    m*fs/D boundary and silently zero that channel's envelope."""
     edges = conf.chan_edges
+    nfft = spectral.next_pow2(nx)
     D = 1
     while 2 * D <= max(int(requested), 1):
         D *= 2                     # largest power of two <= requested
     while D > 1:
-        fs_d = conf.fs / D
-        ok = conf.nhop % D == 0
+        nfft_d = nfft // D
+        ok = conf.nhop % D == 0 and nfft % D == 0
         for c in range(conf.nchannel):
             lo, hi = edges[c], edges[c + 1]
-            if int(lo // fs_d) != int(max(hi - 1e-6, lo) // fs_d):
+            b_lo = int(-(-lo * nfft // conf.fs))      # as in _band_envelopes
+            b_hi = min(int(-(-hi * nfft // conf.fs)), nfft // 2 + 1)
+            if b_hi <= b_lo or b_lo // nfft_d != (b_hi - 1) // nfft_d:
                 ok = False
         if ok:
             return D
@@ -369,9 +375,6 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 and opt.hm_method == "czt"):
             ampl, phse = _deconv_correction(opt, f0, centers, cyc, ampl,
                                             phse, mask)
-        if opt.track_lowpass_hz > 0.0:
-            ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
-                                        phse, mask, opt.track_lowpass_hz)
         for _pass in range(max(opt.hm_passes - 1, 0)):
             segs = harmonics.oscillator_bank(
                 cyc, centers, ampl, phse, mask, nhop=nhop,
@@ -385,6 +388,12 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             z = ampl * jnp.exp(1j * phse) + da * jnp.exp(1j * dp)
             ampl = jnp.abs(z) * mask
             phse = jnp.angle(z) * mask
+        # the denoiser runs AFTER any Gauss-Seidel passes: each pass
+        # re-projects the residual, which would add the removed noise
+        # straight back (ADVICE r2)
+        if opt.track_lowpass_hz > 0.0:
+            ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
+                                        phse, mask, opt.track_lowpass_hz)
         segs = harmonics.oscillator_bank(cyc, centers, ampl, phse, mask,
                                          nhop=nhop, use_pallas=opt.use_pallas)
         y_sin = harmonics.overlap_add_half(segs, nhop, nx)
@@ -397,7 +406,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
         # demodulation; _band_envelopes) and every projection buffer
         # shrinks by D -- the envelope pass was the largest HBM consumer
         # of the whole analysis (scripts/cost_analysis.py, round 2)
-        D = _env_decimation(conf, opt.env_decimate)
+        D = _env_decimation(conf, opt.env_decimate, nx)
         envs = _band_envelopes(residual, conf, D)           # [C, nx/D]
         fs_d = conf.fs / D
         nhop_d = nhop // D

@@ -324,7 +324,12 @@ def refine_f0(
     # decimated-probe buffer vs the original fixed D=4
     D = 1
     for cand in (8, 4, 2):
+        # nx % cand == 0: the frequency-domain decimation inverts only the
+        # first nx//D bins at length nx//D, which is exact only when D
+        # divides nx (ADVICE r2; internal callers pad x to nfrm*nhop so
+        # this holds, but external callers may not)
         if nhop is not None and nhop % cand == 0 \
+                and x.shape[0] % cand == 0 \
                 and 0.45 * fs / cand > 1.1 * f0_ceil:
             D = cand
             break

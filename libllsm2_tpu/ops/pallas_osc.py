@@ -573,16 +573,18 @@ def deconv_full_pallas(ampl: jnp.ndarray, phse: jnp.ndarray,
     pad = (-N) % block
     Np = N + pad
 
-    def padded3(a, width):
+    def padded3(a):
         a2 = a.reshape(N, -1).astype(jnp.float32)
         return jnp.pad(a2, ((block, pad + block), (0, 0)))
 
-    a3 = padded3(ampl, K)
-    p3 = padded3(phse, K)
-    cy3 = padded3(cyc_c, 1)
+    # each padded3 array is passed THREE times below with index maps
+    # i / i+1 / i+2: the triplicated operands are offset views into ONE
+    # haloed array (prev / center / next frame block), not three buffers
+    a3 = padded3(ampl)
+    p3 = padded3(phse)
+    cy3 = padded3(cyc_c)
     eq3 = padded3(jnp.concatenate(
-        [eq_re.astype(jnp.float32), eq_im.astype(jnp.float32)], axis=1),
-        2 * nq)
+        [eq_re.astype(jnp.float32), eq_im.astype(jnp.float32)], axis=1))
     hwp = jnp.pad(hw.astype(jnp.float32), (0, pad),
                   constant_values=2.0)[:, None]
     nb = Np // block

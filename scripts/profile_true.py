@@ -152,7 +152,7 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
         # the full noise-envelope analysis pass as analyze runs it:
         # decimated band envelopes + per-channel projections with DC row
         conf_ = opt.conf
-        D = layer0._env_decimation(conf_, opt.env_decimate)
+        D = layer0._env_decimation(conf_, opt.env_decimate, nx)
         fs_d = conf_.fs / D
         nhop_d = nhop // D
         H_d = -(-conf_.halfwin_max // D)

@@ -174,7 +174,8 @@ def test_env_decimation_matches_full_rate():
                                         noise_level=0.1)
     opt4 = create_aoptions()
     opt1 = dataclasses.replace(opt4, env_decimate=1)
-    assert layer0._env_decimation(opt4.conf, opt4.env_decimate) == 4
+    assert layer0._env_decimation(opt4.conf, opt4.env_decimate,
+                                  12800) == 4
     c4 = layer0.analyze(opt4, x, f0)
     c1 = layer0.analyze(opt1, x, f0)
     edc4, edc1 = np.asarray(c4.edc), np.asarray(c1.edc)
@@ -204,25 +205,32 @@ def test_env_decimation_fallbacks():
     from libllsm2_tpu import ChunkConf
 
     conf = ChunkConf()
-    assert layer0._env_decimation(conf, 4) == 4
-    assert layer0._env_decimation(conf, 1) == 1
+    assert layer0._env_decimation(conf, 4, 12800) == 4
+    assert layer0._env_decimation(conf, 1, 12800) == 1
     # a channel straddling the fs/4 alias boundary (4000 Hz) forces D=2
     # (boundaries at fs/2 alias windows are fine), then a straddle of
     # fs/2 forces D=1
     c2 = ChunkConf(nchannel=2, chanfreq=(3000.0,))
-    assert layer0._env_decimation(c2, 4) == 2        # 3000..8000 straddles 4k
+    assert layer0._env_decimation(c2, 4, 12800) == 2        # 3000..8000 straddles 4k
     # hop not divisible: thop chosen so nhop = 81
     c3 = ChunkConf(thop=81.0 / 16000.0)
     assert c3.nhop == 81
-    assert layer0._env_decimation(c3, 4) == 1
+    assert layer0._env_decimation(c3, 4, 12960) == 1
     # non-power-of-two requests round DOWN to a power of two: the
     # spectrum fold tiles the next_pow2 FFT grid, which D=5 does not
     # divide (code-review finding: D=5 used to pass validation and crash
     # _band_envelopes at trace time)
-    assert layer0._env_decimation(conf, 5) == 4
-    assert layer0._env_decimation(conf, 10) == 8
+    assert layer0._env_decimation(conf, 5, 12800) == 4
+    assert layer0._env_decimation(conf, 10, 12800) == 8
     c5 = ChunkConf(nchannel=3, chanfreq=(3200.0, 6400.0))
-    assert layer0._env_decimation(c5, 5) == 2     # [3200,6400) straddles 4k
+    assert layer0._env_decimation(c5, 5, 12800) == 2     # [3200,6400) straddles 4k
+    # bin-grid edge case (ADVICE r2): a channel hugging the fs/4 alias
+    # boundary from below passes an Hz-grid containment check, but its
+    # ceil-rounded b_lo lands ON the boundary bin (4096 of nfft=16384),
+    # making the fold slice empty -- the validator must check the actual
+    # bin grid and fall back rather than silently zero that channel
+    c6 = ChunkConf(nchannel=4, chanfreq=(2000.0, 3999.5, 4000.0))
+    assert layer0._env_decimation(c6, 4, 12800) == 1
     x5, f05 = testsig.make_test_utterance(duration=0.3)
     import dataclasses as _dc
     ch5 = layer0.analyze(_dc.replace(create_aoptions(), conf=c5,
