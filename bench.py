@@ -33,7 +33,7 @@ BASELINE_X_REALTIME = 500.0
 
 
 def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=16,
-         passes=0):
+         passes=0, mxu=0):
     # repeats: pipeline steps per lax.scan dispatch.  The relay's
     # per-dispatch marshaling (~30-50 ms at batch 128) is an artifact of
     # this image's remote-device tunnel, not chip throughput; R=16
@@ -58,7 +58,8 @@ def main(batch=128, duration=8.0, iters=3, pallas=1, fchunk=0, repeats=16,
     conf = ChunkConf(f0_floor=70.0)   # window budget sized for speech F0s
     opt = dataclasses.replace(create_aoptions(), conf=conf,
                               use_pallas=bool(pallas),
-                              frame_chunk=int(fchunk))
+                              frame_chunk=int(fchunk),
+                              hm_kernel="matmul" if mxu else "rotation")
     if passes:   # 0 = library default (hm_passes=1 + analytic deconv)
         opt = dataclasses.replace(opt, hm_passes=int(passes),
                                   hm_correction="none")

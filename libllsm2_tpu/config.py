@@ -132,6 +132,26 @@ class AnalysisOptions:
                                  # usually real -- raw refine cost 15 dB on
                                  # jittered male fixtures (round 2).  0 = raw.
     use_pallas: bool = False     # lower the harmonic projection to Pallas
+    hm_kernel: str = "rotation"  # Pallas projection kernel for the main
+                                 # harmonic pass.  "rotation" (default):
+                                 # the VPU complex-rotation kernel.
+                                 # "matmul": factor the chirped basis
+                                 # through the frame-independent
+                                 # modulated signal g_k(n) = x e^{-2 pi
+                                 # j k cyc} and run the banded [frames,
+                                 # span] x [span, 2K+2] contraction on
+                                 # the MXU with NO [N, W] frame buffers.
+                                 # Measured v5e (round 3): equality-exact
+                                 # but NOT faster -- 8.1 ms vs 7.4 ms per
+                                 # 12.8k frames at fp32 (6.4 ms at bf16,
+                                 # which is too imprecise): the projection
+                                 # is bound by the VPU-side modulated-
+                                 # signal generation and window eval, not
+                                 # the contraction, so the MXU buys
+                                 # nothing (scripts/bench_mxu_kernel.py).
+                                 # Kept for its ~8x lower peak-HBM (no
+                                 # framed buffers) at very large
+                                 # batch x duration products.
     frame_chunk: int = 0         # >0: chunk the projection over frames
                                  # (bounds peak HBM; needed for very large
                                  # batch x duration products)
@@ -153,6 +173,28 @@ class AnalysisOptions:
                                  # not divide the hop.
     # envelope fitting window, in hops, for the noise temporal envelopes
     env_winsize_hops: int = 4
+    track_denoise: bool = True
+                                 # dynamics-adaptive harmonic-track
+                                 # denoiser (default ON; superseded by
+                                 # track_lowpass_hz when that is set):
+                                 # Wiener-gates the fast INCOHERENT part
+                                 # of each track against a per-harmonic
+                                 # noise floor estimated from the track
+                                 # itself, after removing the coherent
+                                 # across-harmonic component (common AM =
+                                 # shimmer, k-proportional phase =
+                                 # jitter).  No-op on clean signals by
+                                 # construction (the floor collapses);
+                                 # ~+4 dB harmonic SNR on breathy input
+                                 # without the lowpass's dynamics smear
+                                 # (layer0._track_denoise).
+    track_denoise_hz: float = 30.0
+                                 # slow/fast split frequency for the
+                                 # adaptive denoiser (only the fast band
+                                 # is gated)
+    track_denoise_strength: float = 2.0
+                                 # gate threshold in units of the
+                                 # estimated noise-floor power
     track_lowpass_hz: float = 0.0
                                  # > 0: lowpass each harmonic's
                                  # phase-aligned complex amplitude track at

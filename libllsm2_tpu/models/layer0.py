@@ -300,6 +300,115 @@ def _track_lowpass(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     return jnp.abs(cs) * mask, jnp.angle(cs) * mask
 
 
+def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
+                   cutoff_hz: float, strength: float,
+                   use_pallas: bool = False):
+    """Default-on dynamics-adaptive harmonic-track denoiser
+    (AnalysisOptions.track_denoise).
+
+    Estimation noise on a harmonic's track (in-band additive noise landing
+    on k*f0) is broadband along frames and INCOHERENT across harmonics,
+    while true fast source dynamics are coherent: shimmer is a common
+    multiplicative AM (all harmonics move together) and residual
+    jitter/F0 error is a phase deviation PROPORTIONAL to k.  So: split
+    each phase-aligned complex track into slow part + fast residual,
+    remove from the residual its coherent across-k component (per-frame
+    least-squares fit of r ~ (m0 + m1*k) * c_slow -- m0 captures common
+    AM/PM, m1 the k-proportional jitter term), estimate each harmonic's
+    noise floor as a robust (Winsorized) per-k mean of the remaining
+    incoherent power over voiced frames, and Wiener-gate: fast incoherent
+    wiggles below `strength` x floor shrink toward the slow track, real
+    transients above it pass.  On clean signals the floor collapses to
+    the tiny estimation-error level, so the gate is a no-op by
+    construction -- unlike the opt-in full lowpass (track_lowpass_hz),
+    which buys the same ~+4 dB on breathy input but smears fast true
+    dynamics.  Reference: layer0.c has no analog (its single-pass
+    analysis keeps the noise on the harmonics)."""
+    import numpy as _np
+
+    N, K = ampl.shape
+    frame_rate = 1.0 / conf.thop
+    M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
+    w_np = _np.hanning(M + 2)[1:-1]
+    w_np = w_np / w_np.sum()
+    c, align = _aligned_track(ampl, phse, cyc, centers)
+    voiced = (f0 > 0).astype(jnp.float32)
+
+    if use_pallas:
+        # one fused pass over the packed [N, 2K+1] array instead of a
+        # full-array pad/slice copy per tap (ops.pallas_osc
+        # fir_frames_pallas)
+        from ..ops.pallas_osc import fir_frames_pallas
+        packed = jnp.concatenate([c.real, c.imag, voiced[:, None]], axis=1)
+        sm = fir_frames_pallas(packed, tuple(w_np))
+        c_s = sm[:, :K] + 1j * sm[:, K:2 * K]
+        guard = sm[:, 2 * K:] > 0.999                   # [N, 1]
+    else:
+        w = jnp.asarray(w_np, jnp.float32)
+        h = M // 2
+
+        def fir(v):
+            out = jnp.zeros_like(v)
+            for j in range(M):
+                out = out + w[j] * _shift_rows(v, j - h, N)
+            return out
+
+        c_s = fir(c)
+        guard = fir(voiced[:, None]) > 0.999            # [N, 1]
+    r = c - c_s
+
+    # coherent across-k fit r ~ (m0 + m1*k) * c_s, weighted by |c_s|^2
+    kh = jnp.arange(1, K + 1, dtype=jnp.float32)[None, :]
+    m = mask.astype(jnp.float32)
+    p = (c_s.real**2 + c_s.imag**2) * m
+    cr = jnp.conj(c_s) * r * m
+    a00 = jnp.sum(p, axis=1)
+    a01 = jnp.sum(kh * p, axis=1)
+    a11 = jnp.sum(kh * kh * p, axis=1)
+    b0 = jnp.sum(cr, axis=1)
+    b1 = jnp.sum(kh * cr, axis=1)
+    det = a00 * a11 - a01 * a01
+    ridge = 1e-5 * a00 * a11 + 1e-12
+    m0 = (a11 * b0 - a01 * b1) / (det + ridge)
+    m1 = (a00 * b1 - a01 * b0) / (det + ridge)
+    r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
+    r_inc = r - r_coh
+
+    # per-harmonic noise floor: Winsorized mean of the incoherent fast
+    # power over usable frames.  NOTE the floor deliberately measures the
+    # gated band itself: track noise is NOT frame-white -- the pitch-
+    # synchronous window lowpasses it to roughly the window bandwidth
+    # (~30-50 Hz), so a high-band whiteness probe sees nothing (measured:
+    # only ~20% of true track-noise power sits above 2x cutoff).  Real
+    # fast dynamics that could masquerade as floor are removed before
+    # this point (shimmer/jitter via the coherent fit; burst transients
+    # are rare frames the Winsorized clipping rejects), and the relative
+    # -35 dB engagement test below protects clean tracks where detail
+    # and estimation noise are entangled.
+    pw = r_inc.real**2 + r_inc.imag**2
+    ok = guard & (m > 0)
+    n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)        # [K]
+    v = jnp.sum(jnp.where(ok, pw, 0.0), axis=0) / n_ok
+    for _ in range(3):
+        cl = jnp.minimum(pw, 3.0 * v[None, :])
+        v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
+    # too few usable frames -> floor unknown -> leave the track alone
+    v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
+    # engage only where the floor is significant relative to the track's
+    # own power: a track with > ~35 dB internal SNR contributes
+    # negligible absolute error, and at that level residual true detail
+    # (deconv-restored AM) is entangled with the estimation noise --
+    # gating it measurably hurt clean fixtures (-1.3 dB on the bare
+    # vibrato fixture) for no SNR benefit
+    p_bar = jnp.sum(jnp.where(ok, p, 0.0), axis=0) / n_ok    # [K]
+    v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
+
+    g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
+    out = c_s + r_coh + g * r_inc
+    out = jnp.where(guard, out, c) * jnp.conj(align)
+    return jnp.abs(out) * mask, jnp.angle(out) * mask
+
+
 def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
     """Analyze a signal into an LLSM chunk (reference: layer0.c ->
     llsm_analyze(aoptions, x, nx, fs, f0, nf0)).
@@ -364,7 +473,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 x, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk, nhop=nhop)
+                frame_chunk=opt.frame_chunk, nhop=nhop,
+                mxu=opt.hm_kernel == "matmul")
 
     # --- residual: subtract the resynthesized harmonic part; extra
     # Gauss-Seidel passes re-analyze the residual and fold the correction
@@ -384,13 +494,19 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                 x - y_sin, f0, centers, cyc, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
                 fnyq=conf.fnyq, use_pallas=opt.use_pallas,
-                frame_chunk=opt.frame_chunk, nhop=nhop)
+                frame_chunk=opt.frame_chunk, nhop=nhop,
+                mxu=opt.hm_kernel == "matmul")
             z = ampl * jnp.exp(1j * phse) + da * jnp.exp(1j * dp)
             ampl = jnp.abs(z) * mask
             phse = jnp.angle(z) * mask
-        # the denoiser runs AFTER any Gauss-Seidel passes: each pass
+        # denoisers run AFTER any Gauss-Seidel passes: each pass
         # re-projects the residual, which would add the removed noise
         # straight back (ADVICE r2)
+        if opt.track_denoise and opt.track_lowpass_hz <= 0.0:
+            ampl, phse = _track_denoise(conf, f0, cyc, centers, ampl,
+                                        phse, mask, opt.track_denoise_hz,
+                                        opt.track_denoise_strength,
+                                        use_pallas=opt.use_pallas)
         if opt.track_lowpass_hz > 0.0:
             ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
                                         phse, mask, opt.track_lowpass_hz)

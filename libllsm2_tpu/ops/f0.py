@@ -22,6 +22,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .interp import fetch_frames
@@ -37,6 +38,11 @@ class F0Config(NamedTuple):
     voicing_threshold: float = 0.45
     transition_semitones: float = 1.2   # stddev of the pitch-jump prior
     switch_penalty: float = 6.0         # -log prob of voicing flips
+    hs_weight: float = 5.0      # weight of the harmonic-comb spectral
+                                # term in the Viterbi observations
+                                # (octave disambiguation; 0 disables)
+    hs_harmonics: int = 12      # comb length
+    hs_decay: float = 0.9       # per-harmonic comb weight decay
 
 
 def _difference_function(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
@@ -104,6 +110,43 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
     # probabilities: low CMNDF -> high voiced likelihood
     beta = 0.1
     logp_v = -obs / beta                                     # [N, B]
+
+    # harmonic-comb spectral score (octave disambiguation; the libgvps
+    # Viterbi in the reference consumes pYIN observations only -- under a
+    # strong formant at 2*F0 the CMNDF dips at the half/double lag and
+    # the tracker octave-errs; a comb over the magnitude spectrum breaks
+    # the tie: the true F0's comb catches every harmonic, the octave-up
+    # comb misses the odd ones and the octave-down comb averages in the
+    # empty midpoints).  TPU-native: sampling |X| at k*f_b is a STATIC
+    # linear-interp matrix over the rfft grid -> one [N, nbin] x
+    # [nbin, B] matmul, no gathers.
+    if cfg.hs_weight > 0.0:
+        nfft_hs = 2 * cfg.winlen
+        win = jnp.hanning(cfg.winlen).astype(jnp.float32)
+        mag = jnp.abs(jnp.fft.rfft(frames * win[None, :], n=nfft_hs))
+        nbin = nfft_hs // 2 + 1
+        df = fs / nfft_hs
+        ks = np.arange(1, cfg.hs_harmonics + 1)
+        fg = np.exp(np.linspace(np.log(cfg.f0_floor + 1.0),
+                                np.log(cfg.f0_ceil - 1.0), cfg.nbins))
+        pos = fg[:, None] * ks[None, :] / df                  # [B, Kc]
+        wk = cfg.hs_decay ** (ks - 1)
+        valid = (fg[:, None] * ks[None, :]) < 0.5 * fs
+        i0h = np.clip(np.floor(pos).astype(np.int64), 0, nbin - 2)
+        frac = pos - i0h
+        comb = np.zeros((nbin, cfg.nbins), np.float32)
+        for j in range(cfg.hs_harmonics):
+            wv = wk[j] * valid[:, j]
+            np.add.at(comb, (i0h[:, j], np.arange(cfg.nbins)),
+                      (1.0 - frac[:, j]) * wv)
+            np.add.at(comb, (i0h[:, j] + 1, np.arange(cfg.nbins)),
+                      frac[:, j] * wv)
+        norm = np.maximum((wk[None, :] * valid).sum(axis=1), 1e-6)
+        comb = comb / norm[None, :]
+        hs = mag @ jnp.asarray(comb)                          # [N, B]
+        hs_rel = jnp.log(hs + 1e-9) \
+            - jnp.log(jnp.max(hs, axis=-1, keepdims=True) + 1e-9)
+        logp_v = logp_v + cfg.hs_weight * hs_rel
     best = jnp.min(obs, axis=-1, keepdims=True)
     logp_u = -cfg.voicing_threshold / beta * jnp.ones_like(best)
 

@@ -113,6 +113,7 @@ def harmonic_analysis(
     frame_chunk: int = 0,
     nhop: int | None = None,
     with_dc: bool = False,
+    mxu: bool = False,
 ):
     """Estimate harmonic amplitudes/phases for every frame.
 
@@ -185,6 +186,31 @@ def harmonic_analysis(
         return ampl, phse, jnp.sum(xw, axis=-1) / wsum
 
     N = centers.shape[0]
+    if use_pallas and mxu and nhop is not None:
+        # MXU-matmul path: the chirped basis factors through the
+        # frame-independent modulated signal g_k(n) = x e^{-2 pi j k cyc},
+        # so the projection is a banded [frames, span] x [span, 2K+2]
+        # matmul on the MXU and the [N, W] frame buffers are never built
+        # (pallas_osc.harmonic_project_mxu); the per-frame phase factor
+        # e^{+2 pi j k cyc_c} is restored here as an O(N*K) rotation.
+        from .pallas_osc import harmonic_project_mxu
+        from .windows import COSINE_SERIES
+        if window in COSINE_SERIES:
+            hh = -(-H // nhop)
+            re, im, wsum, xsum = harmonic_project_mxu(
+                x, cyc, halfwidth_e, max_k, nhop, hh, window=window)
+            wsum = jnp.maximum(wsum, 1e-9)
+            ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
+            ph_c = kharm[None, :] * cyc[centers][:, None]
+            ph_c = ph_c - jnp.round(ph_c)
+            ang_c = (2.0 * jnp.pi) * ph_c
+            re2 = re * jnp.cos(ang_c) - im * jnp.sin(ang_c)
+            im2 = re * jnp.sin(ang_c) + im * jnp.cos(ang_c)
+            phse = jnp.arctan2(im2, re2)
+            m = mask.astype(jnp.float32)
+            if with_dc:
+                return ampl * m, phse * m, m, xsum / wsum
+            return ampl * m, phse * m, m
     if use_pallas:
         from .pallas_osc import harmonic_project_pallas
         from .pallas_osc import harmonic_project_win_pallas

@@ -42,6 +42,7 @@ identical code paths.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -612,6 +613,242 @@ def deconv_full_pallas(ampl: jnp.ndarray, phse: jnp.ndarray,
         interpret=_interpret(),
     )(a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, hwp, eq3, eq3, eq3)
     return out_a[:N], out_p[:N]
+
+
+def _proj_mxu_kernel(los_ref, his_ref, x_ref, cyc_ref, hw_ref, out_ref,
+                     w_sc, gt_sc, *, F, SCn, P, nhop, Kp, coefs, nsub,
+                     precision):
+    """MXU-matmul projection grid step (i = frame block, j = span chunk).
+
+    Factorization: the chirped basis splits as
+        e^{-2 pi j k (cyc(n) - cyc_c)} = e^{+2 pi j k cyc_c}
+                                         * e^{-2 pi j k cyc(n)},
+    so the modulated signal g_k(n) = x(n) e^{-2 pi j k cyc(n)} is
+    FRAME-INDEPENDENT and the per-frame windowed projection becomes a
+    banded real matmul  out[f, :] = sum_n W[f, n] * G[n, :]  that rides
+    the MXU instead of the VPU (the per-frame phase factor is restored on
+    the host as an O(N*K) rotation).  Identical math to the rotation
+    kernel, just reassociated; fp32 (HIGHEST) keeps weak harmonics exact.
+
+    Per step: generate G^T for this span chunk in VMEM (complex-power
+    recurrence over k, 8 harmonics at a time), evaluate the
+    pitch-synchronous window rows for the sub-tiles of 8 frames whose
+    window intersects the chunk (others zero), then one
+    [F, SCn] x [SCn, CC] NT matmul accumulated over chunks.  G columns:
+    [wsum (ones), xsum (x), re_1..re_Kp, im_1..im_Kp]."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # ---- window rows: per 8-frame sub-tile, skip if outside the chunk
+    chunk_lo = i * (F * nhop) + j * SCn - P   # absolute sample interval
+    chunk_hi = chunk_lo + SCn                 # of this span chunk
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, SCn), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, SCn), 0).astype(jnp.float32)
+    for s in range(nsub):
+        sub = i * nsub + s
+
+        @pl.when((los_ref[sub] < chunk_hi) & (his_ref[sub] > chunk_lo))
+        def _(s=s):
+            hw8 = hw_ref[pl.ds(8 * s, 8), :]              # [8, 1]
+            base = (j * SCn - P - (8 * s) * nhop).astype(jnp.float32)
+            noff = base + col - row * nhop                # [8, SCn]
+            u = (noff / hw8 + 1.0) * 0.5
+            w = jnp.full_like(u, coefs[0])
+            for m in range(1, len(coefs)):
+                w = w + coefs[m] * jnp.cos((TWO_PI * m) * u)
+            w_sc[pl.ds(8 * s, 8), :] = \
+                jnp.where((u >= 0.0) & (u <= 1.0), w, 0.0)
+
+        @pl.when((los_ref[sub] >= chunk_hi) | (his_ref[sub] <= chunk_lo))
+        def _(s=s):
+            w_sc[pl.ds(8 * s, 8), :] = jnp.zeros((8, SCn), jnp.float32)
+
+    # ---- G^T generation: rows [re_1..re_Kp | im_1..im_Kp | 1, x, 0pad]
+    # (sublane-aligned layout: every 8-row store starts at a multiple
+    # of 8 -- Kp is 8-aligned and the wsum/xsum rows share one padded
+    # tail block, which also keeps all CCp rows initialized)
+    x = x_ref[:]                                          # [1, SCn]
+    ang = -TWO_PI * cyc_ref[:]
+    z1r = jnp.cos(ang)
+    z1i = jnp.sin(ang)
+    gt_sc[pl.ds(2 * Kp, 8), :] = jnp.concatenate(
+        [jnp.ones((1, SCn), jnp.float32), x,
+         jnp.zeros((6, SCn), jnp.float32)], axis=0)
+    # z^1..z^8 ladder, then step by z^8 per octave of 8 harmonics
+    rows_r, rows_i = [z1r], [z1i]
+    for _ in range(7):
+        rows_r.append(rows_r[-1] * z1r - rows_i[-1] * z1i)
+        rows_i.append(rows_r[-2] * z1i + rows_i[-1] * z1r)
+    zr = jnp.concatenate(rows_r, axis=0)                  # [8, SCn]
+    zi = jnp.concatenate(rows_i, axis=0)
+    z8r = jnp.broadcast_to(rows_r[-1], (8, SCn))
+    z8i = jnp.broadcast_to(rows_i[-1], (8, SCn))
+    for kc in range(Kp // 8):
+        gt_sc[pl.ds(8 * kc, 8), :] = x * zr
+        gt_sc[pl.ds(Kp + 8 * kc, 8), :] = x * zi
+        if kc + 1 < Kp // 8:
+            nzr = zr * z8r - zi * z8i
+            zi = zr * z8i + zi * z8r
+            zr = nzr
+
+    # ---- the banded matmul: [F, SCn] x [CC, SCn]^T -> [F, CC]
+    out_ref[:] += jax.lax.dot_general(
+        w_sc[:], gt_sc[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("max_k", "nhop", "hh",
+                                             "window", "precision"))
+def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
+                         max_k: int, nhop: int, hh: int,
+                         *, window: str = "hanning",
+                         precision: str = "highest"):
+    """MXU-matmul chirped harmonic projection at uniform centers i*nhop.
+
+    x, cyc: [nx = N*nhop] signal and mod-1 cycle track (UNframed -- this
+    path never materializes the [N, W] frame buffers); hw [N] per-frame
+    window halfwidths (samples); hh = window halfwidth in whole hops
+    (ceil(halfwin_max / nhop)).  Returns (re [N, K], im [N, K], wsum [N],
+    xsum [N]) with  re + j*im = sum_n w_f(n) x(n) e^{-2j pi (k+1)
+    (cyc(n) - cyc(f*nhop))},  i.e. the same quantity as
+    harmonic_project_win_pallas, including the windowed-DC (k=0) row.
+    """
+    from .windows import COSINE_SERIES
+    coefs = tuple(float(c) for c in COSINE_SERIES[window])
+    N = hw.shape[0]
+    Kp = _round_up(max_k, 8)
+    CCp = 2 * Kp + 8        # [re rows | im rows | ones, x, 6 zero rows]
+
+    # span-chunk size: a 128-multiple of samples (TPU lane-tiling rule for
+    # the [1, total] signal blocks), with the frame block F sized so every
+    # chunk boundary is reachable by the index map (F*nhop % SCn == 0) and
+    # whole 8-frame sub-tiles fit
+    F = None
+    for SCn in (1024, 512, 256, 128):
+        g = math.gcd(nhop, SCn)
+        f0_ = SCn // g
+        Fc = 8 * f0_ // math.gcd(8, f0_)
+        Fc = _round_up(max(Fc, 96), Fc)
+        if Fc <= 256:
+            F = Fc
+            break
+    if F is None:        # degenerate hop; one huge chunk per block
+        SCn = _round_up((1 + 2 * hh) * nhop, 128)
+        F = 8
+    nsub = F // 8
+    P = _round_up(hh * nhop, SCn)                 # front/back pad, samples
+    nch = (F * nhop + 2 * P) // SCn
+    Npad = _round_up(N, F)
+    nb = Npad // F
+
+    xp = jnp.pad(x.astype(jnp.float32),
+                 (P, (Npad - N) * nhop + P))[None, :]
+    cycp = jnp.pad(cyc.astype(jnp.float32),
+                   (P, (Npad - N) * nhop + P), mode="edge")[None, :]
+    hwp = jnp.pad(hw.astype(jnp.float32), (0, Npad - N),
+                  constant_values=2.0)[:, None]            # [Npad, 1]
+
+    # per-8-frame-sub-tile absolute SAMPLE bounds of the window support
+    f_idx = jnp.arange(Npad, dtype=jnp.int32)
+    hw_int = jnp.ceil(hwp[:, 0]).astype(jnp.int32)
+    lo_f = f_idx * nhop - hw_int
+    hi_f = f_idx * nhop + hw_int + 1
+    # padded frames: empty interval -> sub-tile inactive unless real ones
+    lo_f = jnp.where(f_idx < N, lo_f, 0)
+    hi_f = jnp.where(f_idx < N, hi_f, 0)
+    los = jnp.min(lo_f.reshape(-1, 8), axis=1)
+    his = jnp.max(hi_f.reshape(-1, 8), axis=1)
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    out = pl.pallas_call(
+        functools.partial(_proj_mxu_kernel, F=F, SCn=SCn, P=P, nhop=nhop,
+                          Kp=Kp, coefs=coefs, nsub=nsub, precision=prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb, nch),
+            in_specs=[
+                pl.BlockSpec((1, SCn),
+                             lambda i, j, *_: (0, i * (F * nhop // SCn) + j)),
+                pl.BlockSpec((1, SCn),
+                             lambda i, j, *_: (0, i * (F * nhop // SCn) + j)),
+                pl.BlockSpec((F, 1), lambda i, j, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((F, CCp), lambda i, j, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((F, SCn), jnp.float32),
+                pltpu.VMEM((CCp, SCn), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Npad, CCp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Npad * nch * SCn * CCp,
+            bytes_accessed=4 * (Npad * nhop + 2 * P) * 2
+            + 4 * Npad * CCp,
+            transcendentals=(Npad * nhop + 2 * P) * 2
+            + Npad * nch * SCn // F * len(coefs)),
+        interpret=_interpret(),
+    )(los, his, xp, cycp, hwp)
+    re = out[:N, :max_k]
+    im = out[:N, Kp:Kp + max_k]
+    wsum = out[:N, 2 * Kp]
+    xsum = out[:N, 2 * Kp + 1]
+    return re, im, wsum, xsum
+
+
+def _fir_frames_kernel(prev_ref, cur_ref, next_ref, out_ref, *, taps):
+    """One frame block of a frame-axis FIR: out[i] = sum_j taps[j] *
+    v[i + j - h] with zero-padded edges, rows fetched from the
+    prev/center/next haloed blocks (the deconv kernel's 3-view trick)."""
+    F = cur_ref.shape[0]
+    h = len(taps) // 2
+    acc = None
+    for j, wj in enumerate(taps):
+        d = j - h
+        if d < 0:
+            rows = jnp.concatenate([prev_ref[F + d:], cur_ref[:F + d]], 0)
+        elif d > 0:
+            rows = jnp.concatenate([cur_ref[d:], next_ref[:d]], 0)
+        else:
+            rows = cur_ref[:]
+        acc = wj * rows if acc is None else acc + wj * rows
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "block"))
+def fir_frames_pallas(v: jnp.ndarray, taps: tuple,
+                      block: int = FRAME_BLOCK) -> jnp.ndarray:
+    """FIR along the frame (leading) axis of v [N, C], zero-padded edges:
+    out[i] = sum_j taps[j] * v[i + j - len(taps)//2].  One fused pass --
+    the equivalent jnp pad/slice shift-add chain materializes a full
+    [N, C] copy per tap, which made the track denoiser's smoothing the
+    dominant cost of the whole feature (~12 ms/step at batch 128 on
+    v5e; this kernel is one read + one write of v)."""
+    assert len(taps) <= 2 * block
+    N, C = v.shape
+    pad = (-N) % block
+    # one haloed buffer; passed three times with index maps i / i+1 / i+2
+    v3 = jnp.pad(v.astype(jnp.float32),
+                 ((block, pad + block), (0, 0)))
+    nb = (N + pad) // block
+    out = pl.pallas_call(
+        functools.partial(_fir_frames_kernel,
+                          taps=tuple(float(t) for t in taps)),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((block, C), lambda i: (i, 0)),
+                  pl.BlockSpec((block, C), lambda i: (i + 1, 0)),
+                  pl.BlockSpec((block, C), lambda i: (i + 2, 0))],
+        out_specs=pl.BlockSpec((block, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N + pad, C), jnp.float32),
+        interpret=_interpret(),
+    )(v3, v3, v3)
+    return out[:N]
 
 
 def _proj_kernel(lob_ref, hib_ref, dc_ref, xw_ref, re_ref, im_ref):

@@ -271,3 +271,30 @@ def synth_hard_utterance(duration=1.0, fs=16000.0, thop=0.005,
     scale = max(np.abs(x).max(), 1e-9)
     return ((x / scale).astype(np.float64), f0_frames,
             (x_harm / scale).astype(np.float64))
+
+
+def make_octave_trap(duration=1.0, fs=16000.0, thop=0.005, f0_base=110.0,
+                     fmt_mult=2.0, bw=60.0, floor_amp=0.02):
+    """Octave-error stress fixture for F0 trackers (VERDICT r2 #3): a
+    narrow formant centered EXACTLY on harmonic `fmt_mult` makes that
+    harmonic dominate by >12 dB, so the YIN difference function dips at
+    the corresponding fraction/multiple of the true lag -- the classic
+    condition under which single-pass CMNDF trackers lock an octave off.
+    Returns (x [nx], f0 [nfrm]) with the TRUE track."""
+    nhop = int(round(thop * fs))
+    nfrm = int(round(duration * fs)) // nhop
+    f0t = make_f0_track(nfrm, thop, f0_base=f0_base,
+                        vibrato_depth=0.01, glide=0.1)
+    nx = nfrm * nhop
+    t = np.arange(nx) / fs
+    frame_t = np.arange(nfrm) * thop
+    f0_s = np.interp(t, frame_t, f0t)
+    ph = np.cumsum(f0_s) / fs
+    x = np.zeros(nx)
+    for k in range(1, 40):
+        fk = k * f0_s
+        amp = 1.0 / np.sqrt(1.0 + ((fk - fmt_mult * f0_base) / bw) ** 4) \
+            + floor_amp / k
+        x += amp * np.cos(2 * np.pi * k * ph + 0.3 * k)
+    x /= np.abs(x).max()
+    return x, f0t

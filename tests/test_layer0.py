@@ -147,20 +147,77 @@ def test_deconv_correction_tracks_gauss_seidel():
 def test_track_lowpass_denoises_breathy_input():
     """Opt-in harmonic-track lowpass (AnalysisOptions.track_lowpass_hz):
     on a breathy fixture (noise 0.05) it must buy >= 2 dB harmonic SNR
-    vs the clean harmonic component; default-off must match exactly."""
+    over a fully-undenoised analysis (track_denoise=False isolates it
+    from the default-on adaptive denoiser, which it supersedes)."""
     import dataclasses
 
     x, f0, xh = testsig.synth_hard_utterance(
         duration=1.0, register="female", seed=3, jitter=0.01, shimmer=0.1,
         noise_level=0.05, burst=False, unvoiced_tail_frac=0.0)
     sopt = create_soptions()
-    opt0 = create_aoptions()
+    opt0 = dataclasses.replace(create_aoptions(), track_denoise=False)
     ch0 = layer0.analyze(opt0, x, f0)
     s_raw = snr_db(xh, np.asarray(layer0.synthesize(sopt, ch0).y_sin))
     opt1 = dataclasses.replace(opt0, track_lowpass_hz=30.0)
     ch1 = layer0.analyze(opt1, x, f0)
     s_lp = snr_db(xh, np.asarray(layer0.synthesize(sopt, ch1).y_sin))
     assert s_lp - s_raw > 2.0, (s_raw, s_lp)
+
+
+def test_track_denoise_default_improves_breathy_input():
+    """The default-on dynamics-adaptive track denoiser
+    (AnalysisOptions.track_denoise) must recover most of what the full
+    lowpass buys on breathy input (>= 2 dB here) WITHOUT the lowpass's
+    clean-signal damage (see test_track_denoise_clean_noop)."""
+    import dataclasses
+
+    for reg, min_gain in (("female", 2.0), ("child", 2.5)):
+        x, f0, xh = testsig.synth_hard_utterance(
+            duration=1.0, register=reg, seed=3, noise_level=0.05)
+        sopt = create_soptions()
+        opt_off = dataclasses.replace(create_aoptions(),
+                                      track_denoise=False)
+        opt_on = create_aoptions()
+        lo, hi = _voiced_core(f0)
+        y0 = np.asarray(layer0.synthesize(
+            sopt, layer0.analyze(opt_off, x, f0)).y_sin)
+        y1 = np.asarray(layer0.synthesize(
+            sopt, layer0.analyze(opt_on, x, f0)).y_sin)
+        from libllsm2_tpu.utils import metrics
+        s0 = metrics.snr_db(xh[lo:hi], y0[lo:hi], trim=0.0)
+        s1 = metrics.snr_db(xh[lo:hi], y1[lo:hi], trim=0.0)
+        assert s1 - s0 > min_gain, (reg, s0, s1)
+
+
+def test_track_denoise_clean_noop():
+    """On clean (noiseless) stressed fixtures the adaptive denoiser must
+    be a no-op to within 0.2 dB: the relative-power engagement test
+    disengages the gate where detail and estimation noise are entangled
+    -- the failure mode that keeps the plain lowpass opt-in."""
+    import dataclasses
+
+    for reg in ("male", "female", "child"):
+        x, f0, xh = testsig.synth_hard_utterance(
+            duration=0.8, register=reg, seed=3, noise_level=0.0)
+        sopt = create_soptions()
+        opt_off = dataclasses.replace(create_aoptions(),
+                                      track_denoise=False)
+        opt_on = create_aoptions()
+        lo, hi = _voiced_core(f0)
+        y0 = np.asarray(layer0.synthesize(
+            sopt, layer0.analyze(opt_off, x, f0)).y_sin)
+        y1 = np.asarray(layer0.synthesize(
+            sopt, layer0.analyze(opt_on, x, f0)).y_sin)
+        from libllsm2_tpu.utils import metrics
+        s0 = metrics.snr_db(xh[lo:hi], y0[lo:hi], trim=0.0)
+        s1 = metrics.snr_db(xh[lo:hi], y1[lo:hi], trim=0.0)
+        assert abs(s1 - s0) < 0.2, (reg, s0, s1)
+
+
+def _voiced_core(f0, nhop=80):
+    v = np.where(np.asarray(f0) > 0)[0]
+    return (v[int(0.10 * len(v))] * nhop,
+            v[int(0.85 * len(v))] * nhop)
 
 
 def test_env_decimation_matches_full_rate():

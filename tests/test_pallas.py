@@ -46,6 +46,49 @@ def test_harmonic_project_matches_jnp():
     np.testing.assert_allclose(np.asarray(im), ref_im, atol=2e-3)
 
 
+def test_harmonic_project_mxu_matches_rotation():
+    """The MXU-matmul projection (frame-independent modulated signal +
+    banded matmul + host-side phase rotation) must match the rotation
+    kernel through harmonic_analysis for every conf shape: default
+    (hh=10), small-window (hh=5), N smaller than one frame block, and
+    unvoiced frames with and without the DC row."""
+    for dur, floor, tail, with_dc in ((0.6, 40.0, 0.0, True),
+                                      (0.6, 90.0, 0.3, False),
+                                      (0.12, 40.0, 0.0, True)):
+        x, f0 = testsig.make_test_utterance(duration=dur, seed=8,
+                                            noise_level=0.03,
+                                            unvoiced_tail_frac=tail)
+        opt = create_aoptions(f0_floor=floor)
+        conf = opt.conf
+        nhop, nfrm = conf.nhop, len(f0)
+        nx = nfrm * nhop
+        xj = jnp.asarray(x[:nx], jnp.float32)
+        f0j = jnp.asarray(f0, jnp.float32)
+        centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+        cyc = harmonics.sample_cycles(f0j, nhop, conf.fs, nx)
+        kw = dict(fs=conf.fs, max_k=conf.maxnhar,
+                  halfwin_max=conf.halfwin_max,
+                  rel_winsize=conf.rel_winsize, fnyq=conf.fnyq,
+                  nhop=nhop, use_pallas=True, with_dc=with_dc)
+        out_r = harmonics.harmonic_analysis(xj, f0j, centers, cyc,
+                                            mxu=False, **kw)
+        out_m = harmonics.harmonic_analysis(xj, f0j, centers, cyc,
+                                            mxu=True, **kw)
+        scale = float(np.abs(np.asarray(out_r[0])).max())
+        np.testing.assert_allclose(np.asarray(out_m[0]),
+                                   np.asarray(out_r[0]),
+                                   atol=2e-3 * scale)
+        # wrapping-safe phase comparison on the complex vectors
+        z_r = np.asarray(out_r[0]) * np.exp(1j * np.asarray(out_r[1]))
+        z_m = np.asarray(out_m[0]) * np.exp(1j * np.asarray(out_m[1]))
+        np.testing.assert_allclose(z_m, z_r, atol=3e-3 * scale)
+        np.testing.assert_allclose(np.asarray(out_m[2]),
+                                   np.asarray(out_r[2]))
+        if with_dc:
+            np.testing.assert_allclose(np.asarray(out_m[3]),
+                                       np.asarray(out_r[3]), atol=1e-6)
+
+
 def test_full_pipeline_pallas_flag():
     """analyze+synthesize with use_pallas=True matches the jnp path.
 

@@ -240,3 +240,20 @@ class TestFeedMany:
         y2 = rtsynth.stream_chunk(sopt, chunk, synth_mode="pbp", block=16)
         n = min(len(y1), len(y2))
         np.testing.assert_allclose(y2[:n], y1[:n], atol=2e-4)
+
+
+def test_stream_pbp_matches_offline():
+    """Streaming PbP must converge to the offline PbP render (the PbP
+    analog of test_stream_matches_offline_harmonic; measured 47.5 dB)."""
+    from libllsm2_tpu.models import layer1 as l1mod
+    from libllsm2_tpu.utils import metrics
+
+    x, f0 = testsig.make_test_utterance(duration=0.6)
+    chunk = l1mod.chunk_to_layer1(layer0.analyze(create_aoptions(), x, f0))
+    sopt = create_soptions()
+    from libllsm2_tpu.models import pbp as pbpmod
+    y_off = np.asarray(pbpmod.pbp_synthesize(sopt, chunk).y_sin)
+    y_st = np.asarray(rtsynth.stream_chunk(sopt, chunk, synth_mode="pbp"))
+    n = min(len(y_st), len(y_off))
+    s = metrics.snr_db(y_off[:n], y_st[:n])
+    assert s > 35.0, s
