@@ -188,13 +188,24 @@ class AnalysisOptions:
                                  # ~+4 dB harmonic SNR on breathy input
                                  # without the lowpass's dynamics smear
                                  # (layer0._track_denoise).
-    track_denoise_hz: float = 30.0
+    track_denoise_hz: float = 15.0
                                  # slow/fast split frequency for the
-                                 # adaptive denoiser (only the fast band
-                                 # is gated)
-    track_denoise_strength: float = 2.0
+                                 # adaptive denoiser (only the band above
+                                 # it is gated; the noise floor is probed
+                                 # above 2x this frequency, where clean
+                                 # fixtures carry no real dynamics)
+    track_denoise_strength: float = 8.0
                                  # gate threshold in units of the
-                                 # estimated noise-floor power
+                                 # estimated noise-floor power.  The
+                                 # floor probe (above 2x the split
+                                 # frequency) underestimates the gated
+                                 # band's noise by the window-shaping
+                                 # factor; strength absorbs it.  Clean
+                                 # safety does NOT depend on strength
+                                 # (the relative engagement test
+                                 # disengages first); measured bench SNR
+                                 # rises monotonically to ~12 and is
+                                 # near-saturated at 8.
     track_lowpass_hz: float = 0.0
                                  # > 0: lowpass each harmonic's
                                  # phase-aligned complex amplitude track at

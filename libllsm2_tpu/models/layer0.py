@@ -374,23 +374,39 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
     r_inc = r - r_coh
 
-    # per-harmonic noise floor: Winsorized mean of the incoherent fast
-    # power over usable frames.  NOTE the floor deliberately measures the
-    # gated band itself: track noise is NOT frame-white -- the pitch-
-    # synchronous window lowpasses it to roughly the window bandwidth
-    # (~30-50 Hz), so a high-band whiteness probe sees nothing (measured:
-    # only ~20% of true track-noise power sits above 2x cutoff).  Real
-    # fast dynamics that could masquerade as floor are removed before
-    # this point (shimmer/jitter via the coherent fit; burst transients
-    # are rare frames the Winsorized clipping rejects), and the relative
-    # -35 dB engagement test below protects clean tracks where detail
-    # and estimation noise are entangled.
+    # per-harmonic noise floor: Winsorized mean of the incoherent power
+    # in the PROBE band (above 2x the split frequency) over usable
+    # frames.  Gating reaches down to cutoff_hz, but real slow-ish
+    # dynamics (vibrato AM sidebands, shimmer-band tails) live between
+    # cutoff and ~2x cutoff, so measuring the floor there would engage
+    # the gate on clean signals; the probe band above 2x cutoff is
+    # dynamics-free on clean fixtures (coherent parts already removed,
+    # burst transients rejected by the Winsorized clipping) while still
+    # seeing the window-lowpassed noise.  The probe UNDERestimates the
+    # full gated-band noise (window shaping concentrates it low);
+    # `strength` absorbs the shape factor -- leak is conservative.
+    Mp = int(round(frame_rate / (2.0 * cutoff_hz))) | 1
+    wp_np = _np.hanning(Mp + 2)[1:-1]
+    wp_np = wp_np / wp_np.sum()
+    if use_pallas:
+        from ..ops.pallas_osc import fir_frames_pallas
+        pk = jnp.concatenate([r_inc.real, r_inc.imag], axis=1)
+        sm2 = fir_frames_pallas(pk, tuple(wp_np))
+        r_probe = r_inc - (sm2[:, :K] + 1j * sm2[:, K:])
+    else:
+        wp = jnp.asarray(wp_np, jnp.float32)
+        hp = Mp // 2
+        lowp = jnp.zeros_like(r_inc)
+        for j in range(Mp):
+            lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
+        r_probe = r_inc - lowp
     pw = r_inc.real**2 + r_inc.imag**2
+    pp = r_probe.real**2 + r_probe.imag**2
     ok = guard & (m > 0)
     n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)        # [K]
-    v = jnp.sum(jnp.where(ok, pw, 0.0), axis=0) / n_ok
+    v = jnp.sum(jnp.where(ok, pp, 0.0), axis=0) / n_ok
     for _ in range(3):
-        cl = jnp.minimum(pw, 3.0 * v[None, :])
+        cl = jnp.minimum(pp, 3.0 * v[None, :])
         v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
     # too few usable frames -> floor unknown -> leave the track alone
     v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
@@ -404,6 +420,7 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
 
     g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
+
     out = c_s + r_coh + g * r_inc
     out = jnp.where(guard, out, c) * jnp.conj(align)
     return jnp.abs(out) * mask, jnp.angle(out) * mask

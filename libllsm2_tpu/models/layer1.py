@@ -103,7 +103,8 @@ def _phase_dev_tables(max_k: int):
 
 
 def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
-                 mask: jnp.ndarray) -> jnp.ndarray:
+                 mask: jnp.ndarray, f0: jnp.ndarray | None = None,
+                 fcap: float = 700.0) -> jnp.ndarray:
     """Estimate Rd per frame from the harmonic PHASE deviation from
     minimum phase (reference: layer1.c Rd fit -- upstream objective
     marked [M] in SURVEY.md; this phase form replaces round 1's
@@ -133,18 +134,50 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
     KF = min(RD_PHASE_HARMONICS, K)
     dmodel = jnp.asarray(_phase_dev_tables(K))              # [G, K]
     dmeas = phse - _pseudo_mp(log_ampl)                     # [N, K]
-    w = (mask * jnp.exp(log_ampl))[:, :KF]
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    w0 = (mask * jnp.exp(log_ampl))[:, :KF]
+    if f0 is not None and fcap > 0.0:
+        # confine the fit below the nasal-antiformant region: a spectral
+        # zero between harmonics adds a ~pi phase step the SAMPLED
+        # envelope's minphase cannot know about, offsetting every
+        # harmonic above it -- >30% contamination that defeats the
+        # robust reweighting (measured: true Rd 1.0 fit as 0.35 with a
+        # 900 Hz zero at f0 = 200).  The Rd signature is strongest in
+        # the lowest harmonics anyway (the classic H1-H2/H1-H4 measures);
+        # always keep at least 3 so high-F0 voices stay determined.
+        khf = jnp.arange(1, KF + 1, dtype=jnp.float32)
+        keep = (khf[None, :] * jnp.maximum(f0, 1.0)[:, None] < fcap) \
+            | (khf[None, :] <= 3.0)
+        w0 = w0 * keep
     diff = dmeas[:, None, :KF] - dmodel[None, :, :KF]       # [N, G, KF]
-    c = w[:, None, :] * jnp.exp(1j * diff)
     theta = jnp.linspace(0.0, 2.0 * jnp.pi, RD_PHASE_TGRID,
                          endpoint=False)
-    basis = jnp.exp(-1j * jnp.arange(1, KF + 1, dtype=jnp.float32)
-                    [None, :] * theta[:, None])             # [T, KF]
-    score = jnp.max(jnp.abs(jnp.einsum(
-        "ngk,tk->ngt", c, basis,
-        precision=jax.lax.Precision.HIGHEST)), axis=-1)
-    g = jnp.argmax(score, axis=-1)
+    kf = jnp.arange(1, KF + 1, dtype=jnp.float32)
+    basis = jnp.exp(-1j * kf[None, :] * theta[:, None])     # [T, KF]
+
+    def solve(w):
+        wn = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+        c = wn[:, None, :] * jnp.exp(1j * diff)
+        sc_t = jnp.abs(jnp.einsum("ngk,tk->ngt", c, basis,
+                                  precision=jax.lax.Precision.HIGHEST))
+        score = jnp.max(sc_t, axis=-1)
+        t_best = jnp.argmax(jnp.max(sc_t, axis=1), axis=-1)  # [N]
+        g = jnp.argmax(score, axis=-1)
+        return score, g, t_best
+
+    score, g, t_best = solve(w0)
+    # one IRLS pass: an inter-harmonic spectral ZERO (nasal antiformant)
+    # falls between the sampled harmonics, so minphase(sampled envelope)
+    # misses its phase step and the 1-2 adjacent harmonics carry large
+    # phase residuals at near-full amplitude weight -- enough to drag Rd
+    # to the grid edge (measured: true Rd 1.0 fit as 0.39 with a 900 Hz
+    # zero at f0 = 200).  Downweight phase-residual outliers at the first
+    # fit's optimum (Cauchy weight, sigma 0.5 rad) and refit.
+    res = jnp.take_along_axis(
+        diff, g[:, None, None], axis=1)[:, 0, :] \
+        - kf[None, :] * jnp.take(theta, t_best)[:, None]
+    res = _wrap(res)
+    w1 = w0 / (1.0 + (res / 0.5) ** 2)
+    score, g, _ = solve(w1)
     gf, _ = spectral.qifft(score, g)
     log_rd = jnp.interp(gf, jnp.arange(RD_GRID_SIZE, dtype=jnp.float32),
                         jnp.log(grid))
@@ -227,7 +260,7 @@ def chunk_to_layer1(chunk: Chunk, nfft: int | None = None) -> Chunk:
     la_held = jnp.where(chunk.hm_mask > 0, log_ampl,
                         jnp.take_along_axis(log_ampl, idx_last0[:, None],
                                             axis=-1))
-    rd = fit_rd_phase(la_held, chunk.phse, chunk.hm_mask)
+    rd = fit_rd_phase(la_held, chunk.phse, chunk.hm_mask, chunk.f0)
     rd = jnp.where(voiced, rd, 1.0)
 
     src_logmag, src_phase = _source_at_harmonics(rd, K)

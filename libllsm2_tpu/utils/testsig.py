@@ -110,7 +110,7 @@ def make_test_utterance(duration=1.0, fs=16000.0, thop=0.005, seed=0,
 
 def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
                     formants=((700, 80), (1220, 90), (2600, 120)),
-                    noise_level=0.02, seed=0):
+                    zeros=(), noise_level=0.02, seed=0):
     """Physically-motivated fixture: LF glottal flow derivative pulses
     (known Rd) through an all-pole formant filter, plus aspiration noise.
     Unlike synth_harmonic, the source has a *known glottal shape*, so
@@ -119,6 +119,11 @@ def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
     Uses ops.lf for the pulse shape (host-evaluated); the estimation path
     under test (harmonic analysis -> amplitude-tilt Rd fit) is
     independent of it.
+
+    zeros: optional ((fc, bw), ...) ANTIFORMANTS -- conjugate zero pairs
+    inside the unit circle (minimum phase), the vocal-tract topology of
+    nasals/nasalized vowels (side-branch resonator).  Stresses layer-1's
+    smooth-envelope/minimum-phase assumptions (VERDICT r2 missing #2).
     """
     import jax.numpy as jnp
     from scipy import signal as sps
@@ -148,6 +153,11 @@ def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
         th = 2 * np.pi * fc / fs
         a = [1.0, -2 * r * np.cos(th), r * r]
         x = sps.lfilter([1.0 - r], a, x)
+    for fc, bw in zeros:
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        b = np.array([1.0, -2 * r * np.cos(th), r * r])
+        x = sps.lfilter(b / b.sum(), [1.0], x)   # unit DC gain, min-phase
     # lip radiation (differentiator)
     x = np.diff(x, prepend=0.0)
 
@@ -298,3 +308,22 @@ def make_octave_trap(duration=1.0, fs=16000.0, thop=0.005, f0_base=110.0,
         x += amp * np.cos(2 * np.pi * k * ph + 0.3 * k)
     x /= np.abs(x).max()
     return x, f0t
+
+
+def synth_nasal_utterance(duration=1.0, fs=16000.0, thop=0.005, rd=1.0,
+                          f0_base=120.0, seed=0, noise_level=0.02,
+                          zero=(800.0, 100.0)):
+    """Nasal-murmur stress fixture (VERDICT r2 missing #2): LF source
+    through a pole-zero tract -- low dense F1 (~250 Hz), damped higher
+    formants, and an ANTIFORMANT near `zero` Hz (the /m/-like side-branch
+    null).  The spectral zero violates the smooth-envelope interpolation
+    and exercises the minimum-phase reconstruction in layer 1.
+    Returns (x, f0)."""
+    nhop = int(round(thop * fs))
+    nfrm = int(round(duration * fs)) // nhop
+    f0 = make_f0_track(nfrm, thop, f0_base=f0_base, vibrato_depth=0.015,
+                       glide=0.1)
+    return synth_lf_speech(
+        f0, rd=rd, fs=fs, thop=thop,
+        formants=((250.0, 70.0), (1100.0, 180.0), (2300.0, 220.0)),
+        zeros=(zero,), noise_level=noise_level, seed=seed)

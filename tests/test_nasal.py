@@ -1,0 +1,108 @@
+"""Nasal / antiformant stress oracles (VERDICT r2 missing #2).
+
+The vocal tract of nasals and nasalized vowels has spectral ZEROS
+(side-branch anti-resonances) that violate two analysis assumptions:
+the smooth interpolation of the sampled harmonic envelope, and the
+minimum-phase reconstruction in layer 1 (reference: layer1.c ->
+llsm_frame_tolayer1).  Fixture: utils.testsig.synth_nasal_utterance --
+LF source with known Rd through a pole-zero tract (low dense F1,
+min-phase conjugate-zero pair near 800-900 Hz).
+
+Measured floors (round 3):
+- layer-0 and layer-1 round trips are essentially unaffected by the
+  zero (~32.7 dB voiced-core at aspiration noise 0.02; LSD ~1.5 dB;
+  the 12.6 dB notch reproduced to 0.1 dB) -- vsphse carries whatever
+  the envelope misses.
+- Rd recovery: exact (within ~1%) when harmonics SAMPLE the notch;
+  degraded (measured 0.61 for true 1.0) in the adversarial case of a
+  60 Hz-wide zero exactly BETWEEN harmonics at f0 = 200 -- the notch
+  depth is then unobservable per frame and its unseen ~pi phase step
+  contaminates the minphase reference.  Two mitigations ship: the fit
+  is confined below the nasal-zero region (k*f0 < 700 Hz, classic
+  H1-Hk measures) and one IRLS pass downweights phase-residual
+  outliers; they recover the mid-gap case from 0.35 to 0.61 and the
+  sampled-zero cases to ~1%.
+"""
+import numpy as np
+
+from libllsm2_tpu import create_aoptions, create_soptions
+from libllsm2_tpu.models import layer0, layer1
+from libllsm2_tpu.utils import metrics, testsig
+
+OPT = create_aoptions()
+SOPT = create_soptions()
+
+
+def _core(f0, nhop=80):
+    v = np.where(np.asarray(f0) > 0)[0]
+    return (v[int(0.10 * len(v))] * nhop,
+            v[int(0.85 * len(v))] * nhop)
+
+
+def _nasal_roundtrip(**kw):
+    x, f0 = testsig.synth_nasal_utterance(duration=1.0, seed=2, **kw)
+    ch = layer0.analyze(OPT, x, f0)
+    l1 = layer1.chunk_to_layer1(ch)
+    y1 = np.asarray(layer0.synthesize(SOPT, layer1.chunk_to_layer0(l1)).y)
+    return x, f0, ch, l1, y1
+
+
+def test_layer0_roundtrip_with_antiformant():
+    x, f0 = testsig.synth_nasal_utterance(duration=1.0, seed=2)
+    ch = layer0.analyze(OPT, x, f0)
+    y = np.asarray(layer0.synthesize(SOPT, ch).y)
+    lo, hi = _core(f0)
+    s = metrics.snr_db(x[lo:hi], y[lo:hi], trim=0.0)
+    assert s > 29.0, s
+
+
+def test_layer1_roundtrip_and_notch_reproduction():
+    """Layer 1 must survive the spectral zero: SNR, smoothed LSD, and
+    the NOTCH DEPTH itself (the feature a smooth-envelope codec would
+    fill in) must all reproduce."""
+    x, f0, ch, l1, y1 = _nasal_roundtrip()
+    lo, hi = _core(f0)
+    s = metrics.snr_db(x[lo:hi], y1[lo:hi], trim=0.0)
+    assert s > 29.0, s
+    lsd = metrics.log_spectral_distance_db(x[lo:hi], y1[lo:hi],
+                                           smooth_bins=16)
+    assert lsd < 2.5, lsd
+    a, b = x[lo:hi], y1[lo:hi]
+    fr = np.fft.rfftfreq(len(a), 1 / 16000.0)
+    sa = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    sb = np.abs(np.fft.rfft(b * np.hanning(len(a)))) ** 2
+
+    def band_db(sp, flo, fhi):
+        m = (fr >= flo) & (fr < fhi)
+        return 10 * np.log10(sp[m].mean())
+
+    depth_in = band_db(sa, 500, 650) - band_db(sa, 750, 880)
+    depth_out = band_db(sb, 500, 650) - band_db(sb, 750, 880)
+    assert depth_in > 8.0          # the fixture really has a notch
+    assert abs(depth_out - depth_in) < 2.0, (depth_in, depth_out)
+
+
+def test_rd_recovery_with_sampled_zero():
+    """When harmonics sample the notch (f0 = 120: zero at k ~ 6.7, its
+    skirts measured by k = 6, 7), Rd must recover within 15% across the
+    Rd range despite the antiformant."""
+    for rd_true in (0.5, 1.0, 2.2):
+        x, f0, ch, l1, y1 = _nasal_roundtrip(rd=rd_true)
+        rd_med = float(np.median(np.asarray(l1.rd)[np.asarray(f0) > 0]))
+        assert abs(rd_med / rd_true - 1.0) < 0.15, (rd_true, rd_med)
+
+
+def test_rd_midgap_zero_documented_floor():
+    """Adversarial case: a 60 Hz-wide zero exactly between harmonics at
+    f0 = 200 (unobservable per frame).  The low-harmonic cap + IRLS
+    recover Rd to >= 0.45 (was 0.35 without them, true 1.0); this floor
+    DOCUMENTS the per-frame information limit -- raise it if the fit
+    improves, it must never regress."""
+    x, f0, ch, l1, y1 = _nasal_roundtrip(zero=(900.0, 60.0), f0_base=200.0)
+    rd_med = float(np.median(np.asarray(l1.rd)[np.asarray(f0) > 0]))
+    assert rd_med > 0.45, rd_med
+    # the round trip itself must stay clean regardless (vsphse carries
+    # what the source/envelope split misattributes)
+    lo, hi = _core(f0)
+    s = metrics.snr_db(x[lo:hi], y1[lo:hi], trim=0.0)
+    assert s > 28.0, s

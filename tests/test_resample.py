@@ -82,17 +82,23 @@ class TestArbitraryRateAnalysis:
         assert abs(opt.conf.thop * opt.conf.fs
                    - round(opt.conf.thop * opt.conf.fs)) < 1e-9
 
-    def test_441k_roundtrip_above_40db(self):
+    def test_441k_roundtrip_parity_with_16k(self):
+        """44.1 kHz round trip at 16k-parity quality.  Round 2 reported
+        45.8 dB here and flagged a ~13 dB resample loss; the bisect
+        (round 3) showed the deficit was an OLA onset-edge artifact of
+        the short 0.6 s fixture -- at 1 s the full chain measures
+        57.3 dB, identical to the 16 kHz figure, and the resampler alone
+        round-trips at 82 dB.  Floor set at 50 dB (~7 dB margin)."""
         fs = 44100.0
         opt = create_aoptions(fs=fs, maxnhar=60, f0_floor=100.0)
-        x, f0 = testsig.make_test_utterance(duration=0.6, fs=fs, thop=0.005)
+        x, f0 = testsig.make_test_utterance(duration=1.0, fs=fs, thop=0.005)
         chunk = layer0.analyze(opt, x, f0)
         out = layer0.synthesize(create_soptions(fs=fs), chunk)
         y = np.asarray(out.y_sin)
         assert out.fs == fs
         assert len(y) == int(round(chunk.nfrm * opt.conf.thop * fs))
         n = min(len(x), len(y))
-        assert metrics.snr_db(x[:n], y[:n]) > 40.0
+        assert metrics.snr_db(x[:n], y[:n]) > 50.0
 
     def test_cli_roundtrip_441k(self, tmp_path):
         from libllsm2_tpu import cli
