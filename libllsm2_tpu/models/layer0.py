@@ -418,6 +418,20 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     # vibrato fixture) for no SNR benefit
     p_bar = jnp.sum(jnp.where(ok, p, 0.0), axis=0) / n_ok    # [K]
     v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
+    # alignment-quality guard: if the slow track keeps < 20% of the raw
+    # track energy, the phase alignment itself failed (e.g. the supplied
+    # F0 is a few percent off with refine disabled: the track rotates at
+    # k*df0*thop cycles/frame and ALL its energy looks "fast
+    # incoherent") -- gating would smear real signal (measured: 14 -> 8
+    # dB on a 2%-off-F0 fixture).  Threshold 0.1: full rotation gives
+    # q ~ 0.02 while genuinely noisy or jittery-high-k tracks measure
+    # q >= ~0.15 (noise splits ~half slow/half fast after the window
+    # lowpass); 0.2 was measured to disengage jittery high harmonics
+    # and cost 4-6 dB of the denoiser's gain on stressed registers.
+    p_raw = jnp.sum(jnp.where(ok, (c.real**2 + c.imag**2) * m, 0.0),
+                    axis=0) / n_ok
+    q = p_bar / jnp.maximum(p_raw, 1e-20)
+    v = jnp.where(q > 0.1, v, 0.0)
 
     g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
 
@@ -483,7 +497,7 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             ampl, phse, mask = harmonics.harmonic_peak_pick(
                 x, f0, centers, fs=conf.fs, max_k=conf.maxnhar,
                 halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,
-                fnyq=conf.fnyq)
+                fnyq=conf.fnyq, nhop=nhop)
         else:
             # zoomed chirped projection (reference: LLSM_AOPTION_HMCZT)
             ampl, phse, mask = harmonics.harmonic_analysis(
