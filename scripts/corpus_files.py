@@ -128,33 +128,86 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
         y, snr, _ = corpus.batched_pipeline(o, so, xj, f0j, nxj)
         return snr
 
-    # warm-up/compile one batch per bucket shape (excluded from timing)
-    for b in buckets:
-        xj, f0j, nxj = assemble((b, [paths[0]]))
-        _ = np.asarray(pipeline_snr(opt, sopt, xj, f0j, nxj))
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def pipeline_snr_scan(o, so, xi16, f0j, nxj):
+        """Multi-batch dispatch: [G, B, ...] stacked same-bucket batches
+        run as ONE lax.scan dispatch.  This image's relay charges a
+        ~25 ms floor plus buffer marshaling PER DISPATCH; the round-2
+        per-batch loop paid it ~16x per corpus (~0.4 s of the 0.92 s
+        wall).  One scan per group pays it once (the same amortization
+        bench.py uses)."""
+        def body(_, inp):
+            xi, f0i, nxi = inp
+            xj = xi.astype(jnp.float32) / 32767.0
+            _, snr, _ = corpus.batched_pipeline(o, so, xj, f0i, nxi)
+            return None, snr
+        _, snrs = jax.lax.scan(body, None, (xi16, f0j, nxj))
+        return snrs                                        # [G, B]
 
-    # timed run, double-buffered on BOTH sides (VERDICT r1 #4: the
-    # round-1 demo serialized everything and sat at 301x):
-    #   host thread: the native loader assembles batch k+1
-    #   device: batch k+1 is dispatched before batch k's results are
-    #   fetched (depth-2 async; bounded so the relay never backs up)
+    # group same-bucket batches for single-dispatch scans; pad each group
+    # to GMAX batches (empty = zero rows) so each bucket compiles exactly
+    # ONE scan shape (TPU compiles through this image's tunnel cost
+    # 10-25 min per shape)
+    GMAX = 4
+    groups = []            # (bucket_frames, [batch plan items])
+    for b in buckets:
+        items = [p for p in plan if p[0] == b]
+        for s in range(0, len(items), GMAX):
+            g = items[s:s + GMAX]
+            g = g + [(b, [])] * (GMAX - len(g))
+            groups.append((b, g))
+
+    def assemble_empty(b):
+        B = int(batch)
+        return (jnp.zeros((B, b * nhop), jnp.int16),
+                jnp.zeros((B, b), jnp.float32),
+                jnp.zeros((B,), jnp.int32))
+
+    def assemble_group(grp):
+        b, items = grp
+        parts = [assemble(it) if it[1] else assemble_empty(b)
+                 for it in items]
+        x = jnp.stack([p[0] for p in parts])
+        f0 = jnp.stack([p[1] for p in parts])
+        nx = jnp.stack([p[2] for p in parts])
+        return x, f0, nx
+
+    # warm-up/compile one scan shape per bucket (excluded from timing)
+    for b in buckets:
+        xj, f0j, nxj = assemble_group(
+            (b, [(b, [paths[0]])] + [(b, [])] * (GMAX - 1)))
+        _ = np.asarray(pipeline_snr_scan(opt, sopt, xj, f0j, nxj))
+
+    # timed run: host thread assembles group k+1 (native loader +
+    # host->device transfer) while the device runs group k
     snrs, nbatches = [], 0
+    host_busy = 0.0
     t0 = time.perf_counter()
-    pending = None   # (snr_device_array, n_valid_rows)
+    pending = None   # (snr_device_array [G, B], valid row counts)
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(assemble, plan[0])
-        for k in range(len(plan)):
+        def timed_assemble(grp):
+            nonlocal host_busy
+            ta = time.perf_counter()
+            out = assemble_group(grp)
+            host_busy += time.perf_counter() - ta
+            return out
+        fut = pool.submit(timed_assemble, groups[0])
+        for k in range(len(groups)):
             xj, f0j, nxj = fut.result()
-            if k + 1 < len(plan):
-                fut = pool.submit(assemble, plan[k + 1])
-            snr = pipeline_snr(opt, sopt, xj, f0j, nxj)
+            if k + 1 < len(groups):
+                fut = pool.submit(timed_assemble, groups[k + 1])
+            snr = pipeline_snr_scan(opt, sopt, xj, f0j, nxj)
             if pending is not None:
-                s, nv = pending
-                snrs.extend(np.asarray(s)[:nv].tolist())
-            pending = (snr, len(plan[k][1]))
-            nbatches += 1
-        s, nv = pending
-        snrs.extend(np.asarray(s)[:nv].tolist())
+                s, nvs = pending
+                sa = np.asarray(s)
+                for gi, nv in enumerate(nvs):
+                    snrs.extend(sa[gi, :nv].tolist())
+            pending = (snr, [len(it[1]) for it in groups[k][1]])
+            nbatches += sum(1 for it in groups[k][1] if it[1])
+        s, nvs = pending
+        sa = np.asarray(s)
+        for gi, nv in enumerate(nvs):
+            snrs.extend(sa[gi, :nv].tolist())
     dt = time.perf_counter() - t0
 
     print(json.dumps({
@@ -167,6 +220,8 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
             "batches": nbatches, "wall_s": round(dt, 2),
             "audio_s": round(total_audio, 1),
             "mean_snr_db": round(float(np.mean(snrs)), 2),
+            "host_assembly_s": round(host_busy, 2),
+            "dispatches": len(groups),
             "native_loader": True,
         },
     }))
