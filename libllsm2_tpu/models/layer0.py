@@ -331,30 +331,57 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
     w_np = _np.hanning(M + 2)[1:-1]
     w_np = w_np / w_np.sum()
-    c, align = _aligned_track(ampl, phse, cyc, centers)
+    Mp = int(round(frame_rate / (2.0 * cutoff_hz))) | 1
+    wp_np = _np.hanning(Mp + 2)[1:-1]
+    wp_np = wp_np / wp_np.sum()
     voiced = (f0 > 0).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
 
     if use_pallas:
-        # one fused pass over the packed [N, 2K+1] array instead of a
-        # full-array pad/slice copy per tap (ops.pallas_osc
-        # fir_frames_pallas)
-        from ..ops.pallas_osc import fir_frames_pallas
-        packed = jnp.concatenate([c.real, c.imag, voiced[:, None]], axis=1)
-        sm = fir_frames_pallas(packed, tuple(w_np))
-        c_s = sm[:, :K] + 1j * sm[:, K:2 * K]
-        guard = sm[:, 2 * K:] > 0.999                   # [N, 1]
-    else:
-        w = jnp.asarray(w_np, jnp.float32)
-        h = M // 2
+        # fully fused two-pass form (ops.pallas_osc): pass A reads the
+        # chunk fields ONCE and emits the probe power / slow-track power
+        # / guard for the host-side floor statistics; pass B recomputes
+        # the split in-kernel and applies the gate.  The jnp formulation
+        # below materializes a full [N, K] array per FIR tap and
+        # intermediate -- ~13 ms/step at batch 128 on v5e.
+        from ..ops.pallas_osc import (denoise_apply_pallas,
+                                      denoise_stats_pallas)
+        cyc_c = cyc[centers]
+        pp, cs2, guard_v = denoise_stats_pallas(
+            ampl, phse, cyc_c, m, voiced[:, None],
+            tuple(w_np), tuple(wp_np))
+        ok = guard_v[:, None] & (m > 0)
+        n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)
+        v = jnp.sum(jnp.where(ok, pp, 0.0), axis=0) / n_ok
+        for _ in range(3):
+            cl = jnp.minimum(pp, 3.0 * v[None, :])
+            v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
+        v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
+        p_bar = jnp.sum(jnp.where(ok, cs2 * m, 0.0), axis=0) / n_ok
+        v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
+        p_raw = jnp.sum(jnp.where(ok, ampl * ampl * m, 0.0),
+                        axis=0) / n_ok
+        q = p_bar / jnp.maximum(p_raw, 1e-20)
+        v = jnp.where(q > 0.1, v, 0.0)
+        re, im = denoise_apply_pallas(ampl, phse, cyc_c, m,
+                                      voiced[:, None], v,
+                                      tuple(w_np), tuple(wp_np),
+                                      float(strength))
+        return (jnp.sqrt(re * re + im * im) * mask,
+                jnp.arctan2(im, re) * mask)
 
-        def fir(v):
-            out = jnp.zeros_like(v)
-            for j in range(M):
-                out = out + w[j] * _shift_rows(v, j - h, N)
-            return out
+    c, align = _aligned_track(ampl, phse, cyc, centers)
+    w = jnp.asarray(w_np, jnp.float32)
+    h = M // 2
 
-        c_s = fir(c)
-        guard = fir(voiced[:, None]) > 0.999            # [N, 1]
+    def fir(v):
+        out = jnp.zeros_like(v)
+        for j in range(M):
+            out = out + w[j] * _shift_rows(v, j - h, N)
+        return out
+
+    c_s = fir(c)
+    guard = fir(voiced[:, None]) > 0.999            # [N, 1]
     r = c - c_s
 
     # coherent across-k fit r ~ (m0 + m1*k) * c_s, weighted by |c_s|^2
@@ -385,21 +412,12 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     # seeing the window-lowpassed noise.  The probe UNDERestimates the
     # full gated-band noise (window shaping concentrates it low);
     # `strength` absorbs the shape factor -- leak is conservative.
-    Mp = int(round(frame_rate / (2.0 * cutoff_hz))) | 1
-    wp_np = _np.hanning(Mp + 2)[1:-1]
-    wp_np = wp_np / wp_np.sum()
-    if use_pallas:
-        from ..ops.pallas_osc import fir_frames_pallas
-        pk = jnp.concatenate([r_inc.real, r_inc.imag], axis=1)
-        sm2 = fir_frames_pallas(pk, tuple(wp_np))
-        r_probe = r_inc - (sm2[:, :K] + 1j * sm2[:, K:])
-    else:
-        wp = jnp.asarray(wp_np, jnp.float32)
-        hp = Mp // 2
-        lowp = jnp.zeros_like(r_inc)
-        for j in range(Mp):
-            lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
-        r_probe = r_inc - lowp
+    wp = jnp.asarray(wp_np, jnp.float32)
+    hp = Mp // 2
+    lowp = jnp.zeros_like(r_inc)
+    for j in range(Mp):
+        lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
+    r_probe = r_inc - lowp
     pw = r_inc.real**2 + r_inc.imag**2
     pp = r_probe.real**2 + r_probe.imag**2
     ok = guard & (m > 0)

@@ -802,6 +802,232 @@ def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
     return re, im, wsum, xsum
 
 
+def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
+                  m_p, m_c, m_n, vo_p, vo_c, vo_n, *, taps1, taps2,
+                  h_ext, F, K):
+    """Shared body of the fused track-denoiser kernels: phase-aligned
+    complex track c, frame-axis FIR slow part c_s, per-frame coherent
+    across-k fit, incoherent residual r_inc and its high-band probe --
+    all recomputed from the raw (ampl, phse, cyc_c, mask, voiced) blocks
+    with a 3-view halo, for rows [-h_ext, F+h_ext) of the center block.
+    Returns (cre, cim, csr, csi, rir, rii, prr, pri, guard) as [F+2*h_ext,
+    K]-shaped values (guard [rows, 1])."""
+    kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
+          ).astype(jnp.float32)
+
+    def rows(prev, cur, nxt, d0, d1):
+        """Rows [d0, d1) in center-block coordinates ([0, F) = cur)."""
+        parts = []
+        if d0 < 0:
+            parts.append(prev[F + d0:])
+        parts.append(cur[max(d0, 0):min(d1, F)])
+        if d1 > F:
+            parts.append(nxt[:d1 - F])
+        return jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+
+    h1 = len(taps1) // 2
+    h2 = len(taps2) // 2
+    he = h_ext
+    R = F + 2 * he                        # output row count of this body
+
+    # aligned complex track for rows [-he-h1, F+he+h1)
+    span0, span1 = -he - h1, F + he + h1
+    a_all = rows(a_p, a_c, a_n, span0, span1)
+    p_all = rows(p_p, p_c, p_n, span0, span1)
+    cy_all = rows(cy_p, cy_c, cy_n, span0, span1)
+    m_all = rows(m_p, m_c, m_n, span0, span1)
+    vo_all = rows(vo_p, vo_c, vo_n, span0, span1)
+    ph = p_all / TWO_PI - cy_all * kh
+    ph = ph - jnp.round(ph)
+    ang = TWO_PI * ph
+    cre_all = a_all * jnp.cos(ang)
+    cim_all = a_all * jnp.sin(ang)
+
+    RA = span1 - span0                    # rows in the _all buffers
+
+    def fir(vr, taps, h, nrows, off):
+        """FIR along rows: out[r] = sum_j taps[j]*vr[off + r + j - h],
+        zero rows outside the _all buffer never occur (off >= h)."""
+        acc = None
+        for j, t in enumerate(taps):
+            sl = vr[off + j - h: off + j - h + nrows]
+            acc = t * sl if acc is None else acc + t * sl
+        return acc
+
+    # slow track + guard for rows [-he, F+he): offset h1 into _all
+    csr = fir(cre_all, taps1, h1, R, h1)
+    csi = fir(cim_all, taps1, h1, R, h1)
+    guard = fir(vo_all, taps1, h1, R, h1) > 0.999
+    cre = cre_all[h1:h1 + R]
+    cim = cim_all[h1:h1 + R]
+    m = m_all[h1:h1 + R]
+    rr = cre - csr
+    ri = cim - csi
+
+    # coherent across-k fit r ~ (m0 + m1*k) * c_s (per row)
+    p = (csr * csr + csi * csi) * m
+    crr = (csr * rr + csi * ri) * m       # Re(conj(c_s) r)
+    cri = (csr * ri - csi * rr) * m       # Im(conj(c_s) r)
+    a00 = jnp.sum(p, axis=1, keepdims=True)
+    a01 = jnp.sum(kh * p, axis=1, keepdims=True)
+    a11 = jnp.sum(kh * kh * p, axis=1, keepdims=True)
+    b0r = jnp.sum(crr, axis=1, keepdims=True)
+    b0i = jnp.sum(cri, axis=1, keepdims=True)
+    b1r = jnp.sum(kh * crr, axis=1, keepdims=True)
+    b1i = jnp.sum(kh * cri, axis=1, keepdims=True)
+    det = a00 * a11 - a01 * a01
+    inv = 1.0 / (det + 1e-5 * a00 * a11 + 1e-12)
+    m0r = (a11 * b0r - a01 * b1r) * inv
+    m0i = (a11 * b0i - a01 * b1i) * inv
+    m1r = (a00 * b1r - a01 * b0r) * inv
+    m1i = (a00 * b1i - a01 * b0i) * inv
+    wr = m0r + m1r * kh
+    wi = m0i + m1i * kh
+    rcr = wr * csr - wi * csi
+    rci = wr * csi + wi * csr
+    rir = rr - rcr
+    rii = ri - rci
+    return cre, cim, csr, csi, rcr, rci, rir, rii, guard, m
+
+
+def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
+                          m_p, m_c, m_n, vo_p, vo_c, vo_n,
+                          pp_ref, cs2_ref, gd_ref, *, taps1, taps2, K):
+    """Pass A: probe power |hp(r_inc)|^2, slow-track power |c_s|^2 and
+    guard for the host-side floor/engagement statistics."""
+    F = a_c.shape[0]
+    h2 = len(taps2) // 2
+    (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
+     m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
+                        m_p, m_c, m_n, vo_p, vo_c, vo_n,
+                        taps1=taps1, taps2=taps2, h_ext=h2, F=F, K=K)
+    # rows here span [-h2, F+h2); center block rows = [h2, h2+F)
+    acc_r = None
+    acc_i = None
+    for j, t in enumerate(taps2):
+        sr = rir[j:j + F]
+        si = rii[j:j + F]
+        acc_r = t * sr if acc_r is None else acc_r + t * sr
+        acc_i = t * si if acc_i is None else acc_i + t * si
+    prr = rir[h2:h2 + F] - acc_r
+    pri = rii[h2:h2 + F] - acc_i
+    pp_ref[:] = prr * prr + pri * pri
+    cs2_ref[:] = csr[h2:h2 + F] ** 2 + csi[h2:h2 + F] ** 2
+    gd_ref[:] = guard[h2:h2 + F].astype(jnp.float32)
+
+
+def _denoise_apply_kernel(v_ref, a_p, a_c, a_n, p_p, p_c, p_n,
+                          cy_p, cy_c, cy_n, m_p, m_c, m_n,
+                          vo_p, vo_c, vo_n, or_ref, oi_ref,
+                          *, taps1, taps2, strength, K):
+    """Pass B: recompute the split, gate the incoherent fast residual
+    against the host-combined floor v [1, K], and emit the UN-aligned
+    complex harmonics (host converts to ampl/phse -- no atan2 in
+    Mosaic)."""
+    F = a_c.shape[0]
+    (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
+     m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
+                        m_p, m_c, m_n, vo_p, vo_c, vo_n,
+                        taps1=taps1, taps2=taps2, h_ext=0, F=F, K=K)
+    v = v_ref[:]                                       # [1, K]
+    pw = rir * rir + rii * rii
+    g = jnp.clip(1.0 - strength * v / (pw + 1e-20), 0.0, 1.0)
+    outr = csr + rcr + g * rir
+    outi = csi + rci + g * rii
+    outr = jnp.where(guard, outr, cre)
+    outi = jnp.where(guard, outi, cim)
+    # un-align: multiply by e^{+2 pi j k cyc_c}
+    kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
+          ).astype(jnp.float32)
+    pha = cy_c[:] * kh
+    pha = pha - jnp.round(pha)
+    ua = TWO_PI * pha
+    ur = jnp.cos(ua)
+    ui = jnp.sin(ua)
+    or_ref[:] = outr * ur - outi * ui
+    oi_ref[:] = outr * ui + outi * ur
+
+
+def _denoise_pack3(a, N, pad, block):
+    a2 = a.reshape(N, -1).astype(jnp.float32)
+    return jnp.pad(a2, ((block, pad + block), (0, 0)))
+
+
+def _denoise_spec3(width, block):
+    return [pl.BlockSpec((block, width), lambda i: (i, 0)),
+            pl.BlockSpec((block, width), lambda i: (i + 1, 0)),
+            pl.BlockSpec((block, width), lambda i: (i + 2, 0))]
+
+
+@functools.partial(jax.jit, static_argnames=("taps1", "taps2", "block"))
+def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
+                         block: int = FRAME_BLOCK):
+    """Fused pass A of the track denoiser: one read of the chunk fields
+    -> probe-band incoherent power pp [N, K], slow-track power cs2
+    [N, K], guard [N] (see layer0._track_denoise; the jnp formulation
+    materializes a full array per FIR tap and costed ~13 ms/step at
+    batch 128)."""
+    N, K = ampl.shape
+    pad = (-N) % block
+    a3 = _denoise_pack3(ampl, N, pad, block)
+    p3 = _denoise_pack3(phse, N, pad, block)
+    cy3 = _denoise_pack3(cyc_c, N, pad, block)
+    m3 = _denoise_pack3(mask, N, pad, block)
+    vo3 = _denoise_pack3(voiced, N, pad, block)
+    nb = (N + pad) // block
+    pp, cs2, gd = pl.pallas_call(
+        functools.partial(_denoise_stats_kernel,
+                          taps1=tuple(float(t) for t in taps1),
+                          taps2=tuple(float(t) for t in taps2), K=K),
+        grid=(nb,),
+        in_specs=(_denoise_spec3(K, block) + _denoise_spec3(K, block)
+                  + _denoise_spec3(1, block) + _denoise_spec3(K, block)
+                  + _denoise_spec3(1, block)),
+        out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, 1), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
+    return pp[:N], cs2[:N], gd[:N, 0] > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("taps1", "taps2", "strength",
+                                             "block"))
+def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, taps1, taps2,
+                         strength: float, block: int = FRAME_BLOCK):
+    """Fused pass B: gate against the combined floor v [K] and return the
+    un-aligned complex harmonics (re, im) [N, K]."""
+    N, K = ampl.shape
+    pad = (-N) % block
+    a3 = _denoise_pack3(ampl, N, pad, block)
+    p3 = _denoise_pack3(phse, N, pad, block)
+    cy3 = _denoise_pack3(cyc_c, N, pad, block)
+    m3 = _denoise_pack3(mask, N, pad, block)
+    vo3 = _denoise_pack3(voiced, N, pad, block)
+    nb = (N + pad) // block
+    re, im = pl.pallas_call(
+        functools.partial(_denoise_apply_kernel,
+                          taps1=tuple(float(t) for t in taps1),
+                          taps2=tuple(float(t) for t in taps2),
+                          strength=float(strength), K=K),
+        grid=(nb,),
+        in_specs=([pl.BlockSpec((1, K), lambda i: (0, 0))]
+                  + _denoise_spec3(K, block) + _denoise_spec3(K, block)
+                  + _denoise_spec3(1, block) + _denoise_spec3(K, block)
+                  + _denoise_spec3(1, block)),
+        out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, K), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32)),
+        interpret=_interpret(),
+    )(v.reshape(1, K).astype(jnp.float32),
+      a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
+    return re[:N], im[:N]
+
+
 def _fir_frames_kernel(prev_ref, cur_ref, next_ref, out_ref, *, taps):
     """One frame block of a frame-axis FIR: out[i] = sum_j taps[j] *
     v[i + j - h] with zero-padded edges, rows fetched from the

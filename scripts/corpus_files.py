@@ -59,7 +59,8 @@ def generate_corpus(dirpath: str, n_utts: int, fs: float) -> None:
         np.save(wav.replace(".wav", ".f0.npy"), f0.astype(np.float32))
 
 
-def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
+def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1,
+         gmax=0):
     import jax
     import jax.numpy as jnp
 
@@ -147,8 +148,49 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
     # group same-bucket batches for single-dispatch scans; pad each group
     # to GMAX batches (empty = zero rows) so each bucket compiles exactly
     # ONE scan shape (TPU compiles through this image's tunnel cost
-    # 10-25 min per shape)
-    GMAX = 4
+    # 10-25 min per shape).  MEASURED (round 3): gmax=4 LOSES on this
+    # image -- 662x vs 1362x per-batch -- because the relay's per-dispatch
+    # marshaling scales with the argument bytes (grouping does not
+    # amortize it), the padding wastes ~25% chip, and the coarser groups
+    # overlap worse with host assembly.  The run is TRANSFER-BOUND
+    # through the relay either way (see docs/STATUS.md round-3 notes:
+    # loader 0.16 s CPU for 1000 utts, ~0.8 s host->device upload at the
+    # relay's ~50 MB/s, ~0.2 s chip); gmax=0 (per-batch, depth-2 async)
+    # remains the default and the fastest measured configuration.
+    GMAX = int(gmax)
+    if GMAX <= 0:
+        # per-batch dispatch, depth-2 async (the measured-best config)
+        for b in buckets:
+            xj, f0j, nxj = assemble((b, [paths[0]]))
+            _ = np.asarray(pipeline_snr(opt, sopt, xj, f0j, nxj))
+        snrs, nbatches = [], 0
+        host_busy = 0.0
+        t0 = time.perf_counter()
+        pending = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            def timed_assemble1(item):
+                nonlocal host_busy
+                ta = time.perf_counter()
+                out = assemble(item)
+                host_busy += time.perf_counter() - ta
+                return out
+            fut = pool.submit(timed_assemble1, plan[0])
+            for k in range(len(plan)):
+                xj, f0j, nxj = fut.result()
+                if k + 1 < len(plan):
+                    fut = pool.submit(timed_assemble1, plan[k + 1])
+                snr = pipeline_snr(opt, sopt, xj, f0j, nxj)
+                if pending is not None:
+                    s_, nv = pending
+                    snrs.extend(np.asarray(s_)[:nv].tolist())
+                pending = (snr, len(plan[k][1]))
+                nbatches += 1
+            s_, nv = pending
+            snrs.extend(np.asarray(s_)[:nv].tolist())
+        dt = time.perf_counter() - t0
+        _report(total_audio, dt, paths, batch, nbatches, snrs, host_busy,
+                nbatches)
+        return
     groups = []            # (bucket_frames, [batch plan items])
     for b in buckets:
         items = [p for p in plan if p[0] == b]
@@ -210,6 +252,12 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
             snrs.extend(sa[gi, :nv].tolist())
     dt = time.perf_counter() - t0
 
+    _report(total_audio, dt, paths, batch, nbatches, snrs, host_busy,
+            len(groups))
+
+
+def _report(total_audio, dt, paths, batch, nbatches, snrs, host_busy,
+            dispatches):
     print(json.dumps({
         "metric": "file corpus analyze+resynth (native loader, "
                   "double-buffered)",
@@ -221,7 +269,7 @@ def main(n_utts=1000, batch=64, pallas=1, dir="/tmp/llsm_corpus", gen=1):
             "audio_s": round(total_audio, 1),
             "mean_snr_db": round(float(np.mean(snrs)), 2),
             "host_assembly_s": round(host_busy, 2),
-            "dispatches": len(groups),
+            "dispatches": dispatches,
             "native_loader": True,
         },
     }))

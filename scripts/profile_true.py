@@ -208,6 +208,25 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
             return ea[0, 0]
         return jnp.sum(jax.vmap(one)(x + eps, f0))
 
+    def denoise(eps):
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            a, ph = layer0._track_denoise(
+                conf, cc.f0, cy, centers, cc.ampl + eps, cc.phse,
+                cc.hm_mask, opt.track_denoise_hz,
+                opt.track_denoise_strength, use_pallas=True)
+            return a[0, 0]
+        return jnp.sum(jax.vmap(one)(chunks))
+
+    def deconv(eps):
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            a, ph = layer0._deconv_correction(
+                opt, cc.f0, centers, cy, cc.ampl + eps, cc.phse,
+                cc.hm_mask)
+            return a[0, 0]
+        return jnp.sum(jax.vmap(one)(chunks))
+
     def bandenv(eps):
         conf_ = opt.conf
 
@@ -223,7 +242,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
                      ("envpass", envpass), ("bandenv", bandenv),
                      ("synthesis", syn), ("proj1", proj),
                      ("refine", refine), ("cyc", cyc_fn), ("osc", osc),
-                     ("noise", noise), ("env", env)]:
+                     ("noise", noise), ("env", env),
+                     ("denoise", denoise), ("deconv", deconv)]:
         try:
             timed(name, fn)
         except Exception as e:  # OOM etc -- keep going
@@ -236,7 +256,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
                "floor_s": floor}
     for name in ["pipeline", "analysis", "ana_norefine", "ana_1pass",
                  "envchan", "envpass", "bandenv", "synthesis", "proj1",
-                 "refine", "cyc", "osc", "noise", "env"]:
+                 "refine", "cyc", "osc", "noise", "env", "denoise",
+                 "deconv"]:
         w = results.get(name + "_wall_s")
         if w is None:
             continue

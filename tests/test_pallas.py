@@ -339,3 +339,34 @@ def test_osc_bank_interior_mask_notch():
     s_ref = np.asarray(harmonics.oscillator_bank(
         cyc, centers, ampl, phse, mask, nhop=80, use_pallas=False))
     np.testing.assert_allclose(s_pl, s_ref, atol=2e-4)
+
+
+def test_track_denoise_fused_matches_jnp():
+    """The fused two-pass track denoiser (stats kernel + apply kernel,
+    ops.pallas_osc.denoise_*_pallas) must match the jnp formulation on a
+    noisy stressed fixture including unvoiced regions."""
+    import jax.numpy as jnp
+
+    x, f0, xh = testsig.synth_hard_utterance(
+        duration=0.8, register="female", seed=3, noise_level=0.05,
+        unvoiced_tail_frac=0.2)
+    opt = dataclasses.replace(create_aoptions(f0_floor=65.0),
+                              track_denoise=False)
+    conf = opt.conf
+    ch = layer0.analyze(opt, x, f0)
+    nhop, nfrm = conf.nhop, ch.nfrm
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+    cyc = harmonics.sample_cycles(jnp.asarray(ch.f0), nhop, conf.fs,
+                                  nfrm * nhop)
+    a_j, p_j = layer0._track_denoise(conf, ch.f0, cyc, centers, ch.ampl,
+                                     ch.phse, ch.hm_mask, 15.0, 8.0,
+                                     use_pallas=False)
+    a_p, p_p = layer0._track_denoise(conf, ch.f0, cyc, centers, ch.ampl,
+                                     ch.phse, ch.hm_mask, 15.0, 8.0,
+                                     use_pallas=True)
+    scale = float(np.abs(np.asarray(a_j)).max())
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j),
+                               atol=1e-4 * scale)
+    z_j = np.asarray(a_j) * np.exp(1j * np.asarray(p_j))
+    z_p = np.asarray(a_p) * np.exp(1j * np.asarray(p_p))
+    np.testing.assert_allclose(z_p, z_j, atol=2e-4 * scale)
