@@ -347,7 +347,7 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         from ..ops.pallas_osc import (denoise_apply_pallas,
                                       denoise_stats_pallas)
         cyc_c = cyc[centers]
-        pp, cs2, guard_v = denoise_stats_pallas(
+        pp, cs2, r2, guard_v = denoise_stats_pallas(
             ampl, phse, cyc_c, m, voiced[:, None],
             tuple(w_np), tuple(wp_np))
         ok = guard_v[:, None] & (m > 0)
@@ -363,8 +363,15 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                         axis=0) / n_ok
         q = p_bar / jnp.maximum(p_raw, 1e-20)
         v = jnp.where(q > 0.1, v, 0.0)
+        # fit weights: exclude noise-dominated tracks from the coherent
+        # fit -- their residuals otherwise leak into m0/m1 and the
+        # "coherent" part injects that noise into the STRONG tracks
+        # (measured -10 dB on the voiced-fricative fixture's low band)
+        f_k = jnp.sum(jnp.where(ok, r2, 0.0), axis=0) / n_ok
+        wmul = jnp.clip(1.0 - 2.0 * f_k
+                        / jnp.maximum(p_bar, 1e-20), 0.0, 1.0)
         re, im = denoise_apply_pallas(ampl, phse, cyc_c, m,
-                                      voiced[:, None], v,
+                                      voiced[:, None], v, wmul,
                                       tuple(w_np), tuple(wp_np),
                                       float(strength))
         return (jnp.sqrt(re * re + im * im) * mask,
@@ -450,6 +457,30 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                     axis=0) / n_ok
     q = p_bar / jnp.maximum(p_raw, 1e-20)
     v = jnp.where(q > 0.1, v, 0.0)
+
+    # second, WEIGHTED fit: noise-dominated tracks (fast power comparable
+    # to slow power) are excluded from the coherent fit -- their
+    # residuals otherwise leak into m0/m1 and the "coherent" part
+    # injects that noise into the strong tracks (measured -10 dB on the
+    # voiced-fricative fixture's low band; clean fixtures are unchanged
+    # because every track there is fit-worthy)
+    f_k = jnp.sum(jnp.where(ok, r.real**2 + r.imag**2, 0.0),
+                  axis=0) / n_ok
+    wmul = jnp.clip(1.0 - 2.0 * f_k / jnp.maximum(p_bar, 1e-20),
+                    0.0, 1.0)
+    p2 = p * wmul[None, :]
+    cr2 = cr * wmul[None, :]
+    a00 = jnp.sum(p2, axis=1)
+    a01 = jnp.sum(kh * p2, axis=1)
+    a11 = jnp.sum(kh * kh * p2, axis=1)
+    b0 = jnp.sum(cr2, axis=1)
+    b1 = jnp.sum(kh * cr2, axis=1)
+    det = a00 * a11 - a01 * a01
+    m0 = (a11 * b0 - a01 * b1) / (det + 1e-5 * a00 * a11 + 1e-12)
+    m1 = (a00 * b1 - a01 * b0) / (det + 1e-5 * a00 * a11 + 1e-12)
+    r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
+    r_inc = r - r_coh
+    pw = r_inc.real**2 + r_inc.imag**2
 
     g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
 
@@ -604,12 +635,30 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
 # synthesis
 # ---------------------------------------------------------------------------
 
-def _env_coefs(chunk: Chunk):
+def _env_coefs(chunk: Chunk, cyc=None, centers=None):
     """Rotated, voicing-masked envelope-harmonic coefficients:
-    (edc [N, C], ar [N, C, Ke], ai [N, C, Ke])."""
+    (edc [N, C], ar [N, C, Ke], ai [N, C, Ke]).
+
+    eenv_p is measured at the FRAME CENTER (the envelope projection uses
+    the center-referenced basis e^{-2 pi j k (cyc - cyc_c)}, exactly like
+    the main harmonics), but the renderers evaluate cos(2 pi k cyc(t) +
+    phi) against the ABSOLUTE cycle track -- so the coefficients must be
+    re-referenced by -2 pi k cyc(c_i) here.  Without this rotation each
+    frame's envelope harmonic carried a pseudo-random phase offset and
+    the across-frame lerp CANCELLED the modulation: band-noise energy
+    was preserved (edc) but its glottal-cycle texture rendered flat
+    (measured power-modulation depth 0.003 vs 0.75 true on the voiced-
+    fricative fixture -- a bug no energy/PSD oracle could see)."""
     voiced = (chunk.f0 > 0).astype(jnp.float32)
-    ar = chunk.eenv_a * jnp.cos(chunk.eenv_p) * voiced[:, None, None]
-    ai = chunk.eenv_a * jnp.sin(chunk.eenv_p) * voiced[:, None, None]
+    ph = chunk.eenv_p
+    if cyc is not None:
+        Ke = chunk.eenv_a.shape[-1]
+        kh = jnp.arange(1, Ke + 1, dtype=jnp.float32)
+        rot = kh[None, None, :] * cyc[centers][:, None, None]
+        ph = ph / (2.0 * jnp.pi) - rot
+        ph = (ph - jnp.round(ph)) * (2.0 * jnp.pi)
+    ar = chunk.eenv_a * jnp.cos(ph) * voiced[:, None, None]
+    ai = chunk.eenv_a * jnp.sin(ph) * voiced[:, None, None]
     return chunk.edc, ar, ai
 
 
@@ -626,7 +675,7 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
     are smooth, so parameter-domain interpolation is the natural form).
     """
     N, C, Ke = chunk.eenv_a.shape
-    edc_m, ar, ai = _env_coefs(chunk)
+    edc_m, ar, ai = _env_coefs(chunk, cyc, centers)
 
     if use_pallas and nx == N * nhop:
         from ..ops.pallas_osc import env_render_pallas
@@ -759,7 +808,7 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
                     shaped_spec * masks[c][None, :], n=T) * w[None, :])
                 c += 1
         from ..ops.pallas_osc import noise_mod_ola_pallas
-        edc_m, ar, ai = _env_coefs(chunk)
+        edc_m, ar, ai = _env_coefs(chunk, cyc, centers)
         return noise_mod_ola_pallas(cyc, edc_m, ar, ai,
                                     jnp.stack(band_segs))
 

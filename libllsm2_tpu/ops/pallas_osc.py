@@ -804,7 +804,7 @@ def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
 
 def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                   m_p, m_c, m_n, vo_p, vo_c, vo_n, *, taps1, taps2,
-                  h_ext, F, K):
+                  h_ext, F, K, wmul=None):
     """Shared body of the fused track-denoiser kernels: phase-aligned
     complex track c, frame-axis FIR slow part c_s, per-frame coherent
     across-k fit, incoherent residual r_inc and its high-band probe --
@@ -864,8 +864,12 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     rr = cre - csr
     ri = cim - csi
 
-    # coherent across-k fit r ~ (m0 + m1*k) * c_s (per row)
+    # coherent across-k fit r ~ (m0 + m1*k) * c_s (per row); wmul [1, K]
+    # (optional) downweights noise-dominated tracks so their residuals
+    # cannot pollute the fit (see layer0._track_denoise)
     p = (csr * csr + csi * csi) * m
+    if wmul is not None:
+        p = p * wmul
     crr = (csr * rr + csi * ri) * m       # Re(conj(c_s) r)
     cri = (csr * ri - csi * rr) * m       # Im(conj(c_s) r)
     a00 = jnp.sum(p, axis=1, keepdims=True)
@@ -892,15 +896,20 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
 
 def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                           m_p, m_c, m_n, vo_p, vo_c, vo_n,
-                          pp_ref, cs2_ref, gd_ref, *, taps1, taps2, K):
-    """Pass A: probe power |hp(r_inc)|^2, slow-track power |c_s|^2 and
-    guard for the host-side floor/engagement statistics."""
+                          pp_ref, cs2_ref, r2_ref, gd_ref,
+                          *, taps1, taps2, K):
+    """Pass A: probe power |hp(r_inc)|^2, slow-track power |c_s|^2, raw
+    fast power |r|^2 and guard for the host-side floor / engagement /
+    fit-weight statistics."""
     F = a_c.shape[0]
     h2 = len(taps2) // 2
     (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
      m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                         m_p, m_c, m_n, vo_p, vo_c, vo_n,
                         taps1=taps1, taps2=taps2, h_ext=h2, F=F, K=K)
+    rr0 = cre - csr
+    ri0 = cim - csi
+    r2_ref[:] = rr0[h2:h2 + F] ** 2 + ri0[h2:h2 + F] ** 2
     # rows here span [-h2, F+h2); center block rows = [h2, h2+F)
     acc_r = None
     acc_i = None
@@ -916,19 +925,20 @@ def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     gd_ref[:] = guard[h2:h2 + F].astype(jnp.float32)
 
 
-def _denoise_apply_kernel(v_ref, a_p, a_c, a_n, p_p, p_c, p_n,
+def _denoise_apply_kernel(v_ref, wm_ref, a_p, a_c, a_n, p_p, p_c, p_n,
                           cy_p, cy_c, cy_n, m_p, m_c, m_n,
                           vo_p, vo_c, vo_n, or_ref, oi_ref,
                           *, taps1, taps2, strength, K):
-    """Pass B: recompute the split, gate the incoherent fast residual
-    against the host-combined floor v [1, K], and emit the UN-aligned
-    complex harmonics (host converts to ampl/phse -- no atan2 in
-    Mosaic)."""
+    """Pass B: recompute the split (fit weighted by wm [1, K]), gate the
+    incoherent fast residual against the host-combined floor v [1, K],
+    and emit the UN-aligned complex harmonics (host converts to
+    ampl/phse -- no atan2 in Mosaic)."""
     F = a_c.shape[0]
     (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
      m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                         m_p, m_c, m_n, vo_p, vo_c, vo_n,
-                        taps1=taps1, taps2=taps2, h_ext=0, F=F, K=K)
+                        taps1=taps1, taps2=taps2, h_ext=0, F=F, K=K,
+                        wmul=wm_ref[:])
     v = v_ref[:]                                       # [1, K]
     pw = rir * rir + rii * rii
     g = jnp.clip(1.0 - strength * v / (pw + 1e-20), 0.0, 1.0)
@@ -975,7 +985,7 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     m3 = _denoise_pack3(mask, N, pad, block)
     vo3 = _denoise_pack3(voiced, N, pad, block)
     nb = (N + pad) // block
-    pp, cs2, gd = pl.pallas_call(
+    pp, cs2, r2, gd = pl.pallas_call(
         functools.partial(_denoise_stats_kernel,
                           taps1=tuple(float(t) for t in taps1),
                           taps2=tuple(float(t) for t in taps2), K=K),
@@ -985,21 +995,25 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
                   + _denoise_spec3(1, block)),
         out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
                    pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, K), lambda i: (i, 0)),
                    pl.BlockSpec((block, 1), lambda i: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
                    jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
                    jax.ShapeDtypeStruct((N + pad, 1), jnp.float32)),
         interpret=_interpret(),
     )(a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
-    return pp[:N], cs2[:N], gd[:N, 0] > 0.5
+    return pp[:N], cs2[:N], r2[:N], gd[:N, 0] > 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("taps1", "taps2", "strength",
                                              "block"))
-def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, taps1, taps2,
-                         strength: float, block: int = FRAME_BLOCK):
-    """Fused pass B: gate against the combined floor v [K] and return the
-    un-aligned complex harmonics (re, im) [N, K]."""
+def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, wmul,
+                         taps1, taps2, strength: float,
+                         block: int = FRAME_BLOCK):
+    """Fused pass B: gate against the combined floor v [K], with the
+    coherent fit weighted by wmul [K], and return the un-aligned complex
+    harmonics (re, im) [N, K]."""
     N, K = ampl.shape
     pad = (-N) % block
     a3 = _denoise_pack3(ampl, N, pad, block)
@@ -1014,7 +1028,8 @@ def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, taps1, taps2,
                           taps2=tuple(float(t) for t in taps2),
                           strength=float(strength), K=K),
         grid=(nb,),
-        in_specs=([pl.BlockSpec((1, K), lambda i: (0, 0))]
+        in_specs=([pl.BlockSpec((1, K), lambda i: (0, 0)),
+                   pl.BlockSpec((1, K), lambda i: (0, 0))]
                   + _denoise_spec3(K, block) + _denoise_spec3(K, block)
                   + _denoise_spec3(1, block) + _denoise_spec3(K, block)
                   + _denoise_spec3(1, block)),
@@ -1024,6 +1039,7 @@ def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, taps1, taps2,
                    jax.ShapeDtypeStruct((N + pad, K), jnp.float32)),
         interpret=_interpret(),
     )(v.reshape(1, K).astype(jnp.float32),
+      wmul.reshape(1, K).astype(jnp.float32),
       a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
     return re[:N], im[:N]
 
