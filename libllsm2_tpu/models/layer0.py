@@ -659,7 +659,18 @@ def _env_coefs(chunk: Chunk, cyc=None, centers=None):
         ph = (ph - jnp.round(ph)) * (2.0 * jnp.pi)
     ar = chunk.eenv_a * jnp.cos(ph) * voiced[:, None, None]
     ai = chunk.eenv_a * jnp.sin(ph) * voiced[:, None, None]
-    return chunk.edc, ar, ai
+    # RMS normalizer: the warped PSD is measured on the MODULATED
+    # residual, so it already carries the modulation's power; the
+    # synthesis modulator env/base must therefore have unit RMS, i.e.
+    # base = sqrt(edc^2 + sum a^2/2), not the mean edc -- dividing by
+    # edc double-counted the modulation power (+1.8 dB in deeply
+    # modulated breath bands, masked until the envelope phase fix
+    # because the modulator had been rendering flat)
+    base = jnp.sqrt(chunk.edc ** 2
+                    + 0.5 * jnp.sum((chunk.eenv_a
+                                     * voiced[:, None, None]) ** 2,
+                                    axis=-1))
+    return chunk.edc, ar, ai, base
 
 
 def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
@@ -675,11 +686,11 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
     are smooth, so parameter-domain interpolation is the natural form).
     """
     N, C, Ke = chunk.eenv_a.shape
-    edc_m, ar, ai = _env_coefs(chunk, cyc, centers)
+    edc_m, ar, ai, base_v = _env_coefs(chunk, cyc, centers)
 
     if use_pallas and nx == N * nhop:
         from ..ops.pallas_osc import env_render_pallas
-        return env_render_pallas(cyc, edc_m, ar, ai)
+        return env_render_pallas(cyc, edc_m, ar, ai, base_v)
 
     # frame-structured lerp: every sample of frame i interpolates between
     # frames i and i+1, so the "gather" is a broadcast over a [N, nhop]
@@ -712,8 +723,9 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
     osc_c = jnp.stack(osc_c, axis=-1)[:, None, :]            # [nx, 1, Ke]
     osc_s = jnp.stack(osc_s, axis=-1)[:, None, :]
     env = edc_s + jnp.sum(ar_s * osc_c - ai_s * osc_s, axis=-1)  # [nx, C]
+    base_s = lerp(base_v)                                    # [nx, C]
     return (jnp.maximum(env, 0.0).T,
-            jnp.maximum(edc_s, 1e-8).T)
+            jnp.maximum(base_s, 1e-8).T)
 
 
 def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
@@ -808,8 +820,8 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
                     shaped_spec * masks[c][None, :], n=T) * w[None, :])
                 c += 1
         from ..ops.pallas_osc import noise_mod_ola_pallas
-        edc_m, ar, ai = _env_coefs(chunk, cyc, centers)
-        return noise_mod_ola_pallas(cyc, edc_m, ar, ai,
+        edc_m, ar, ai, base_v = _env_coefs(chunk, cyc, centers)
+        return noise_mod_ola_pallas(cyc, edc_m, ar, ai, base_v,
                                     jnp.stack(band_segs))
 
     env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]

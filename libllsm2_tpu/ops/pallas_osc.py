@@ -275,8 +275,8 @@ def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
     return re[:max_k].T[:N], im[:max_k].T[:N], ws[0, :N], xs[0, :N]
 
 
-def _env_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref, i1_ref,
-                env_ref, base_ref, *, C, Ke):
+def _env_kernel(cyc_ref, e0_ref, e1_ref, b0_ref, b1_ref, r0_ref, r1_ref,
+                i0_ref, i1_ref, env_ref, base_ref, *, C, Ke):
     """One frame block: render per-channel temporal noise envelopes.
 
     env[c, f, t] = lerp(edc) + sum_k lerp(ar)*cos(2 pi (k+1) cyc)
@@ -310,15 +310,17 @@ def _env_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref, i1_ref,
             wi = wr * s1 + wi * c1
             wr = nwr
         env_ref[c, :, :] = jnp.maximum(acc, 0.0)
-        base_ref[c, :, :] = jnp.maximum(edc, 1e-8)
+        base_ref[c, :, :] = jnp.maximum(lerp(b0_ref, b1_ref, c), 1e-8)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def env_render_pallas(cyc: jnp.ndarray, edc: jnp.ndarray, ar: jnp.ndarray,
-                      ai: jnp.ndarray, block: int = FRAME_BLOCK):
+                      ai: jnp.ndarray, base: jnp.ndarray,
+                      block: int = FRAME_BLOCK):
     """Fused envelope render: cyc [N*nhop] (mod-1 cycle track), edc [N, C],
     ar/ai [N, C, Ke] (rotated envelope-harmonic coefficients, already
-    voicing-masked) -> (env [C, N*nhop], base [C, N*nhop]).
+    voicing-masked), base [N, C] (the unit-RMS modulator normalizer
+    sqrt(edc^2 + sum a^2/2)) -> (env [C, N*nhop], base [C, N*nhop]).
 
     Sample t of frame i interpolates the coefficients of frames i and i+1
     (the last frame extends constant), matching layer0._render_envelopes'
@@ -332,19 +334,23 @@ def env_render_pallas(cyc: jnp.ndarray, edc: jnp.ndarray, ar: jnp.ndarray,
         return flat, jnp.concatenate([flat[1:], flat[-1:]], axis=0)
 
     e0, e1 = pair(edc)
+    b0, b1 = pair(base)
     r0, r1 = pair(ar)
     i0, i1 = pair(ai)
     pad = (-N) % block
     if pad:
         cyc_hb = jnp.pad(cyc_hb, ((0, pad), (0, 0)))
-        e0, e1, r0, r1, i0, i1 = (jnp.pad(a, ((0, pad), (0, 0)))
-                                  for a in (e0, e1, r0, r1, i0, i1))
+        e0, e1, b0, b1, r0, r1, i0, i1 = (
+            jnp.pad(a, ((0, pad), (0, 0)))
+            for a in (e0, e1, b0, b1, r0, r1, i0, i1))
     Np = N + pad
-    env, base = pl.pallas_call(
+    env, base_o = pl.pallas_call(
         functools.partial(_env_kernel, C=C, Ke=Ke),
         grid=(Np // block,),
         in_specs=[
             pl.BlockSpec((block, nhop), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
@@ -361,13 +367,14 @@ def env_render_pallas(cyc: jnp.ndarray, edc: jnp.ndarray, ar: jnp.ndarray,
             jax.ShapeDtypeStruct((C, Np, nhop), jnp.float32),
         ),
         interpret=_interpret(),
-    )(cyc_hb, e0, e1, r0, r1, i0, i1)
+    )(cyc_hb, e0, e1, b0, b1, r0, r1, i0, i1)
     return (env[:, :N].reshape(C, N * nhop),
-            base[:, :N].reshape(C, N * nhop))
+            base_o[:, :N].reshape(C, N * nhop))
 
 
-def _noise_mod_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref,
-                      i1_ref, cur_ref, nxt_ref, out_ref, *, C, Ke):
+def _noise_mod_kernel(cyc_ref, e0_ref, e1_ref, b0_ref, b1_ref, r0_ref,
+                      r1_ref, i0_ref, i1_ref, cur_ref, nxt_ref, out_ref,
+                      *, C, Ke):
     """One frame block: envelope render + band OLA + modulation + band
     sum, fused.  cur/nxt [C, F, nhop] hold each band's WOLA segment
     halves aligned to hop blocks (hop i = seg_i[nhop:] + seg_{i+1}[:nhop]);
@@ -397,7 +404,8 @@ def _noise_mod_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref,
             nwr = wr * c1 - wi * s1
             wi = wr * s1 + wi * c1
             wr = nwr
-        ratio = jnp.maximum(env, 0.0) / jnp.maximum(edc, 1e-8)
+        base = lerp(b0_ref, b1_ref, c)
+        ratio = jnp.maximum(env, 0.0) / jnp.maximum(base, 1e-8)
         acc = acc + (cur_ref[c, :, :] + nxt_ref[c, :, :]) * ratio
     out_ref[:] = acc
 
@@ -405,7 +413,7 @@ def _noise_mod_kernel(cyc_ref, e0_ref, e1_ref, r0_ref, r1_ref, i0_ref,
 @functools.partial(jax.jit, static_argnames=("block",))
 def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
                          ar: jnp.ndarray, ai: jnp.ndarray,
-                         segs: jnp.ndarray,
+                         base: jnp.ndarray, segs: jnp.ndarray,
                          block: int = FRAME_BLOCK) -> jnp.ndarray:
     """Fused noise-band OLA + temporal-envelope modulation + band sum.
 
@@ -428,6 +436,7 @@ def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
         return flat, jnp.concatenate([flat[1:], flat[-1:]], axis=0)
 
     e0, e1 = pair(edc)
+    b0, b1 = pair(base)
     r0, r1 = pair(ar)
     i0, i1 = pair(ai)
     pad = (-N) % block
@@ -435,14 +444,17 @@ def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
         cyc_hb = jnp.pad(cyc_hb, ((0, pad), (0, 0)))
         cur = jnp.pad(cur, ((0, 0), (0, pad), (0, 0)))
         nxt = jnp.pad(nxt, ((0, 0), (0, pad), (0, 0)))
-        e0, e1, r0, r1, i0, i1 = (jnp.pad(a, ((0, pad), (0, 0)))
-                                  for a in (e0, e1, r0, r1, i0, i1))
+        e0, e1, b0, b1, r0, r1, i0, i1 = (
+            jnp.pad(a, ((0, pad), (0, 0)))
+            for a in (e0, e1, b0, b1, r0, r1, i0, i1))
     Np = N + pad
     y = pl.pallas_call(
         functools.partial(_noise_mod_kernel, C=C, Ke=Ke),
         grid=(Np // block,),
         in_specs=[
             pl.BlockSpec((block, nhop), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C * Ke), lambda i: (i, 0)),
@@ -455,7 +467,7 @@ def noise_mod_ola_pallas(cyc: jnp.ndarray, edc: jnp.ndarray,
         out_specs=pl.BlockSpec((block, nhop), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, nhop), jnp.float32),
         interpret=_interpret(),
-    )(cyc_hb, e0, e1, r0, r1, i0, i1, cur, nxt)
+    )(cyc_hb, e0, e1, b0, b1, r0, r1, i0, i1, cur, nxt)
     return y[:N].reshape(N * nhop)
 
 

@@ -60,7 +60,12 @@ def _render_frame(conf: ChunkConf, ampl, phse, mask, dc_seg, psd, edc,
         env = edc[c] + jnp.einsum(
             "kt,k->t", jnp.cos(2.0 * jnp.pi * phc + eenv_p[c][:, None]),
             eenv_a[c]) * voiced
-        mod = jnp.maximum(env, 0.0) / jnp.maximum(edc[c], 1e-8)
+        # unit-RMS modulator: the PSD already carries the modulation's
+        # power, so normalize by sqrt(edc^2 + sum a^2/2), not edc
+        # (matches layer0._env_coefs)
+        base = jnp.sqrt(edc[c] ** 2
+                        + 0.5 * jnp.sum((eenv_a[c] * voiced) ** 2))
+        mod = jnp.maximum(env, 0.0) / jnp.maximum(base, 1e-8)
         seg_n = seg_n + band * mod
     return seg_h + seg_n
 
