@@ -300,6 +300,45 @@ def _track_lowpass(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     return jnp.abs(cs) * mask, jnp.angle(cs) * mask
 
 
+def _denoise_floor_stats(pp, cs2_m, r2, amp2_m, ok):
+    """Shared host-side denoiser statistics (one definition for the jnp
+    and fused-Pallas paths -- review finding: the duplicated copies could
+    silently desynchronize).  Inputs are per-(frame, k) powers masked by
+    nothing (masking happens via `ok`): pp = probe-band incoherent power,
+    cs2_m = |c_s|^2 * m, r2 = |r|^2, amp2_m = |c|^2 * m.  Returns
+    (v [K] gate floor, wmul [K] coherent-fit weights):
+
+    - v: Winsorized mean of pp over usable frames (robust to real
+      transients), zeroed where any guard fails:
+      * < 16 usable frames -> floor unknown;
+      * floor below -35 dB of the track's slow power -> the track is
+        clean and residual true detail is entangled with estimation
+        noise (gating measurably hurt clean fixtures);
+      * slow track keeps < 10% of the raw track energy -> the phase
+        alignment itself failed (e.g. wrong supplied F0) and the
+        slow/fast split is meaningless.
+    - wmul: excludes noise-dominated tracks (fast power rivaling slow
+      power) from the coherent across-k fit -- their residuals otherwise
+      leak into m0/m1 and inject noise into the strong tracks (measured
+      -10 dB on the voiced-fricative fixture's low band).
+    """
+    n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)        # [K]
+    v = jnp.sum(jnp.where(ok, pp, 0.0), axis=0) / n_ok
+    for _ in range(3):
+        cl = jnp.minimum(pp, 3.0 * v[None, :])
+        v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
+    v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
+    p_bar = jnp.sum(jnp.where(ok, cs2_m, 0.0), axis=0) / n_ok
+    v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
+    p_raw = jnp.sum(jnp.where(ok, amp2_m, 0.0), axis=0) / n_ok
+    q = p_bar / jnp.maximum(p_raw, 1e-20)
+    v = jnp.where(q > 0.1, v, 0.0)
+    f_k = jnp.sum(jnp.where(ok, r2, 0.0), axis=0) / n_ok
+    wmul = jnp.clip(1.0 - 2.0 * f_k / jnp.maximum(p_bar, 1e-20),
+                    0.0, 1.0)
+    return v, wmul
+
+
 def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                    cutoff_hz: float, strength: float,
                    use_pallas: bool = False):
@@ -351,25 +390,8 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
             ampl, phse, cyc_c, m, voiced[:, None],
             tuple(w_np), tuple(wp_np))
         ok = guard_v[:, None] & (m > 0)
-        n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)
-        v = jnp.sum(jnp.where(ok, pp, 0.0), axis=0) / n_ok
-        for _ in range(3):
-            cl = jnp.minimum(pp, 3.0 * v[None, :])
-            v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
-        v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
-        p_bar = jnp.sum(jnp.where(ok, cs2 * m, 0.0), axis=0) / n_ok
-        v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
-        p_raw = jnp.sum(jnp.where(ok, ampl * ampl * m, 0.0),
-                        axis=0) / n_ok
-        q = p_bar / jnp.maximum(p_raw, 1e-20)
-        v = jnp.where(q > 0.1, v, 0.0)
-        # fit weights: exclude noise-dominated tracks from the coherent
-        # fit -- their residuals otherwise leak into m0/m1 and the
-        # "coherent" part injects that noise into the STRONG tracks
-        # (measured -10 dB on the voiced-fricative fixture's low band)
-        f_k = jnp.sum(jnp.where(ok, r2, 0.0), axis=0) / n_ok
-        wmul = jnp.clip(1.0 - 2.0 * f_k
-                        / jnp.maximum(p_bar, 1e-20), 0.0, 1.0)
+        v, wmul = _denoise_floor_stats(pp, cs2 * m, r2, ampl * ampl * m,
+                                       ok)
         re, im = denoise_apply_pallas(ampl, phse, cyc_c, m,
                                       voiced[:, None], v, wmul,
                                       tuple(w_np), tuple(wp_np),
@@ -425,49 +447,13 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     for j in range(Mp):
         lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
     r_probe = r_inc - lowp
-    pw = r_inc.real**2 + r_inc.imag**2
     pp = r_probe.real**2 + r_probe.imag**2
     ok = guard & (m > 0)
-    n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1.0)        # [K]
-    v = jnp.sum(jnp.where(ok, pp, 0.0), axis=0) / n_ok
-    for _ in range(3):
-        cl = jnp.minimum(pp, 3.0 * v[None, :])
-        v = jnp.sum(jnp.where(ok, cl, 0.0), axis=0) / n_ok
-    # too few usable frames -> floor unknown -> leave the track alone
-    v = jnp.where(jnp.sum(ok, axis=0) >= 16.0, v, 0.0)
-    # engage only where the floor is significant relative to the track's
-    # own power: a track with > ~35 dB internal SNR contributes
-    # negligible absolute error, and at that level residual true detail
-    # (deconv-restored AM) is entangled with the estimation noise --
-    # gating it measurably hurt clean fixtures (-1.3 dB on the bare
-    # vibrato fixture) for no SNR benefit
-    p_bar = jnp.sum(jnp.where(ok, p, 0.0), axis=0) / n_ok    # [K]
-    v = jnp.where(v > 10.0**-3.5 * p_bar, v, 0.0)
-    # alignment-quality guard: if the slow track keeps < 20% of the raw
-    # track energy, the phase alignment itself failed (e.g. the supplied
-    # F0 is a few percent off with refine disabled: the track rotates at
-    # k*df0*thop cycles/frame and ALL its energy looks "fast
-    # incoherent") -- gating would smear real signal (measured: 14 -> 8
-    # dB on a 2%-off-F0 fixture).  Threshold 0.1: full rotation gives
-    # q ~ 0.02 while genuinely noisy or jittery-high-k tracks measure
-    # q >= ~0.15 (noise splits ~half slow/half fast after the window
-    # lowpass); 0.2 was measured to disengage jittery high harmonics
-    # and cost 4-6 dB of the denoiser's gain on stressed registers.
-    p_raw = jnp.sum(jnp.where(ok, (c.real**2 + c.imag**2) * m, 0.0),
-                    axis=0) / n_ok
-    q = p_bar / jnp.maximum(p_raw, 1e-20)
-    v = jnp.where(q > 0.1, v, 0.0)
+    v, wmul = _denoise_floor_stats(
+        pp, p, r.real**2 + r.imag**2,
+        (c.real**2 + c.imag**2) * m, ok)
 
-    # second, WEIGHTED fit: noise-dominated tracks (fast power comparable
-    # to slow power) are excluded from the coherent fit -- their
-    # residuals otherwise leak into m0/m1 and the "coherent" part
-    # injects that noise into the strong tracks (measured -10 dB on the
-    # voiced-fricative fixture's low band; clean fixtures are unchanged
-    # because every track there is fit-worthy)
-    f_k = jnp.sum(jnp.where(ok, r.real**2 + r.imag**2, 0.0),
-                  axis=0) / n_ok
-    wmul = jnp.clip(1.0 - 2.0 * f_k / jnp.maximum(p_bar, 1e-20),
-                    0.0, 1.0)
+    # second, WEIGHTED fit (see _denoise_floor_stats on wmul)
     p2 = p * wmul[None, :]
     cr2 = cr * wmul[None, :]
     a00 = jnp.sum(p2, axis=1)

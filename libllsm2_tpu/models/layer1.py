@@ -175,7 +175,13 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
     res = jnp.take_along_axis(
         diff, g[:, None, None], axis=1)[:, 0, :] \
         - kf[None, :] * jnp.take(theta, t_best)[:, None]
-    res = _wrap(res)
+    # subtract the free COMMON phase the score's abs() absorbs (review
+    # finding: e.g. polarity-inverted audio gives phi ~ pi and every
+    # residual would wrap to +-pi, collapsing the Cauchy weights)
+    wn0 = w0 / jnp.maximum(jnp.sum(w0, axis=-1, keepdims=True), 1e-9)
+    phi = jnp.angle(jnp.sum(wn0 * jnp.exp(1j * res), axis=-1,
+                            keepdims=True))
+    res = _wrap(res - phi)
     w1 = w0 / (1.0 + (res / 0.5) ** 2)
     score, g, _ = solve(w1)
     gf, _ = spectral.qifft(score, g)

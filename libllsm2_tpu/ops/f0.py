@@ -143,7 +143,8 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
                       frac[:, j] * wv)
         norm = np.maximum((wk[None, :] * valid).sum(axis=1), 1e-6)
         comb = comb / norm[None, :]
-        hs = mag @ jnp.asarray(comb)                          # [N, B]
+        hs = jnp.matmul(mag, jnp.asarray(comb),
+                        precision=jax.lax.Precision.HIGHEST)  # [N, B]
         hs_rel = jnp.log(hs + 1e-9) \
             - jnp.log(jnp.max(hs, axis=-1, keepdims=True) + 1e-9)
         logp_v = logp_v + cfg.hs_weight * hs_rel

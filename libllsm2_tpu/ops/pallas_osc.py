@@ -750,9 +750,11 @@ def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
         if Fc <= 256:
             F = Fc
             break
-    if F is None:        # degenerate hop; one huge chunk per block
-        SCn = _round_up((1 + 2 * hh) * nhop, 128)
-        F = 8
+    if F is None:
+        # unreachable for any SCn in the candidate list (f0_ <= SCn and
+        # Fc <= 256 always hold); an explicit error beats a silently
+        # wrong index map if the sizing logic ever changes
+        raise ValueError(f"no valid span-chunk size for nhop={nhop}")
     nsub = F // 8
     P = _round_up(hh * nhop, SCn)                 # front/back pad, samples
     nch = (F * nhop + 2 * P) // SCn
@@ -990,6 +992,11 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     materializes a full array per FIR tap and costed ~13 ms/step at
     batch 128)."""
     N, K = ampl.shape
+    # the 3-view halo covers at most one block on each side; the FIR
+    # spans must fit (review finding: prev[F + d0:] silently mis-slices
+    # otherwise)
+    assert len(taps1) // 2 + len(taps2) // 2 + len(taps2) // 2 < block, \
+        "denoiser FIR halo exceeds one frame block"
     pad = (-N) % block
     a3 = _denoise_pack3(ampl, N, pad, block)
     p3 = _denoise_pack3(phse, N, pad, block)
@@ -1027,6 +1034,8 @@ def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, wmul,
     coherent fit weighted by wmul [K], and return the un-aligned complex
     harmonics (re, im) [N, K]."""
     N, K = ampl.shape
+    assert len(taps1) // 2 + len(taps2) // 2 < block, \
+        "denoiser FIR halo exceeds one frame block"
     pad = (-N) % block
     a3 = _denoise_pack3(ampl, N, pad, block)
     p3 = _denoise_pack3(phse, N, pad, block)

@@ -404,6 +404,8 @@ def synth_consonant_cluster(duration=1.2, fs=16000.0, thop=0.005,
     gap = max(int(0.06 / thop), 2)            # ~60 ms closure+burst
     for s in range(n_syllables):
         a, b = s * syl + gap, min((s + 1) * syl, nfrm)
+        if b - a <= 0:       # gap swallowed the whole syllable
+            continue
         t = np.arange(b - a) * thop
         f0[a:b] = f0_base * (1.0 + 0.05 * np.sin(2 * np.pi * 4.0 * t)
                              - 0.1 * (t / max(t[-1], 1e-9)))

@@ -372,3 +372,26 @@ def test_track_denoise_fused_matches_jnp():
     z_j = np.asarray(a_j) * np.exp(1j * np.asarray(p_j))
     z_p = np.asarray(a_p) * np.exp(1j * np.asarray(p_p))
     np.testing.assert_allclose(z_p, z_j, atol=3e-3 * scale)
+
+
+def test_fir_frames_pallas_matches_numpy():
+    """fir_frames_pallas (generic frame-axis FIR utility) must match a
+    zero-padded numpy FIR exactly -- kept as the reference halo-FIR
+    helper even though the denoiser now fuses its own FIRs."""
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((137, 30)).astype(np.float32)
+    taps = np.hanning(9)[1:-1]
+    taps = taps / taps.sum()
+    got = np.asarray(pallas_osc.fir_frames_pallas(jnp.asarray(v),
+                                                  tuple(taps)))
+    ref = np.zeros_like(v)
+    h = len(taps) // 2
+    for j, t in enumerate(taps):
+        d = j - h
+        sh = np.zeros_like(v)
+        if d >= 0:
+            sh[:v.shape[0] - d] = v[d:]
+        else:
+            sh[-d:] = v[:v.shape[0] + d]
+        ref += t * sh
+    np.testing.assert_allclose(got, ref, atol=1e-6)
