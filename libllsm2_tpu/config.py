@@ -234,6 +234,8 @@ class SynthesisOptions:
     fs: float = 16000.0          # output sample rate (must equal conf.fs for now)
     noise_seed: int = 0x5eed     # PRNG seed for the stochastic noise component
     use_pallas: bool = False     # lower the oscillator bank to a Pallas kernel
+    noise_idft: str = "matmul"   # band iDFTs as MXU matmuls ("fft": reference
+                                 # inverse-FFT path; equality-tested)
 
 
 def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:

@@ -714,8 +714,68 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
             jnp.maximum(base_s, 1e-8).T)
 
 
+def _band_segments(shaped_spec, masks, w, T: int, idft: str):
+    """Windowed per-band time segments [C, N, T] from the shaped per-frame
+    noise spectrum [N, nbin] (reference: layer0.c noise synthesis -- the
+    per-band inverse transforms of the PSD-shaped spectra).
+
+    idft="matmul" (default): the inverse DFT is a [N, nbin] x [nbin, T]
+    real contraction with the synthesis window AND the band mask folded
+    into the matrix.  T = 2*nhop is mixed-radix (160 at 16 kHz / 5 ms),
+    where XLA's TPU FFT runs at ~0.04 TF/s (round-3 roofline) -- two
+    orders of magnitude under the MXU; at this size the windowed-iDFT
+    matrix is 51 KB and the matmul is exact-f32 at Precision.HIGHEST.
+    idft="fft": reference path (channel-paired complex inverse FFTs);
+    equality-tested against the matmul path in test_layer0.
+    """
+    C = int(masks.shape[0])
+    nbin = shaped_spec.shape[1]
+    if idft == "matmul":
+        b = jnp.arange(nbin, dtype=jnp.int32)
+        t = jnp.arange(T, dtype=jnp.int32)
+        # exact cycles-mod-1 via integer arithmetic before trig
+        cycbt = ((b[:, None] * t[None, :]) % T).astype(jnp.float32) / T
+        ang = 2.0 * jnp.pi * cycbt
+        wb = jnp.full((nbin,), 2.0 / T, jnp.float32)
+        wb = wb.at[0].set(1.0 / T).at[-1].set(1.0 / T)
+        scale = wb[:, None] * w[None, :]                     # [nbin, T]
+        cos_m = jnp.cos(ang) * scale
+        sin_m = jnp.sin(ang) * scale
+        # [C, nbin, T] masked bases; x[t] = sum_b Re S_b cos - Im S_b sin
+        cos_c = masks[:, :, None] * cos_m[None]
+        sin_c = masks[:, :, None] * sin_m[None]
+        hp = jax.lax.Precision.HIGHEST
+        return (jnp.einsum("nb,cbt->cnt", jnp.real(shaped_spec), cos_c,
+                           precision=hp)
+                - jnp.einsum("nb,cbt->cnt", jnp.imag(shaped_spec), sin_c,
+                             precision=hp))
+
+    # reference path: the per-channel spectra are band-disjoint, so two
+    # real inverse transforms share one complex ifft (c0 -> Re, c1 -> Im)
+    def _irfft_pair(s0, s1):
+        full0 = jnp.concatenate([s0, jnp.conj(s0[..., -2:0:-1])], axis=-1)
+        full1 = jnp.concatenate([s1, jnp.conj(s1[..., -2:0:-1])], axis=-1)
+        z = jnp.fft.ifft(full0 + 1j * full1, n=T)
+        return z.real, z.imag
+
+    segs = []
+    c = 0
+    while c < C:
+        if c + 1 < C:
+            b0, b1 = _irfft_pair(shaped_spec * masks[c][None, :],
+                                 shaped_spec * masks[c + 1][None, :])
+            segs += [b0 * w[None, :], b1 * w[None, :]]
+            c += 2
+        else:
+            segs.append(jnp.fft.irfft(
+                shaped_spec * masks[c][None, :], n=T) * w[None, :])
+            c += 1
+    return jnp.stack(segs)
+
+
 def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
-                 nhop: int, use_pallas: bool = False) -> jnp.ndarray:
+                 nhop: int, use_pallas: bool = False,
+                 idft: str = "matmul") -> jnp.ndarray:
     """Stochastic noise component: WOLA-filtered white noise shaped by the
     warped PSD, band-split, then modulated by the reconstructed temporal
     envelopes (reference: layer0.c noise synthesis path).  Renders at the
@@ -778,55 +838,21 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
         ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
         for c in range(conf.nchannel)])                         # [C, nbin]
 
-    # channel-pair trick: the per-channel spectra are band-disjoint, so two
-    # real inverse transforms share one complex ifft (c0 -> Re, c1 -> Im),
-    # halving the inverse-FFT count of the hot noise path
-    def _irfft_pair(s0, s1):
-        full0 = jnp.concatenate(
-            [s0, jnp.conj(s0[..., -2:0:-1])], axis=-1)
-        full1 = jnp.concatenate(
-            [s1, jnp.conj(s1[..., -2:0:-1])], axis=-1)
-        z = jnp.fft.ifft(full0 + 1j * full1, n=T)
-        return z.real, z.imag
+    band_segs = _band_segments(shaped_spec, masks, w, T, idft)  # [C, N, T]
 
     if use_pallas and nx == chunk.nfrm * nhop:
         # fused path: envelope render + band OLA + modulation + band sum
         # in one kernel -- the [C, nx] env/base tensors and per-band OLA
         # signals never reach HBM (ops.pallas_osc.noise_mod_ola_pallas)
-        band_segs = []
-        c = 0
-        while c < conf.nchannel:
-            if c + 1 < conf.nchannel:
-                b0, b1 = _irfft_pair(shaped_spec * masks[c][None, :],
-                                     shaped_spec * masks[c + 1][None, :])
-                band_segs += [b0 * w[None, :], b1 * w[None, :]]
-                c += 2
-            else:
-                band_segs.append(jnp.fft.irfft(
-                    shaped_spec * masks[c][None, :], n=T) * w[None, :])
-                c += 1
         from ..ops.pallas_osc import noise_mod_ola_pallas
         edc_m, ar, ai, base_v = _env_coefs(chunk, cyc, centers)
-        return noise_mod_ola_pallas(cyc, edc_m, ar, ai, base_v,
-                                    jnp.stack(band_segs))
+        return noise_mod_ola_pallas(cyc, edc_m, ar, ai, base_v, band_segs)
 
     env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
     y = jnp.zeros(nx, jnp.float32)
-    c = 0
-    while c < conf.nchannel:
-        if c + 1 < conf.nchannel:
-            b0, b1 = _irfft_pair(shaped_spec * masks[c][None, :],
-                                 shaped_spec * masks[c + 1][None, :])
-            for ci, bi in ((c, b0), (c + 1, b1)):
-                band = harmonics.overlap_add_half(bi * w[None, :], nhop, nx)
-                y = y + band * (env[ci] / base[ci])
-            c += 2
-        else:
-            shaped = jnp.fft.irfft(shaped_spec * masks[c][None, :],
-                                   n=T) * w[None, :]
-            band = harmonics.overlap_add_half(shaped, nhop, nx)
-            y = y + band * (env[c] / base[c])
-            c += 1
+    for c in range(conf.nchannel):
+        band = harmonics.overlap_add_half(band_segs[c], nhop, nx)
+        y = y + band * (env[c] / base[c])
     return y
 
 
@@ -878,7 +904,8 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     with jax.named_scope("llsm.synth.noise"):
         key = jax.random.PRNGKey(opt.noise_seed)
         y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop,
-                             use_pallas=opt.use_pallas)
+                             use_pallas=opt.use_pallas,
+                             idft=opt.noise_idft)
 
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)
 

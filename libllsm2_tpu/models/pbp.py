@@ -104,7 +104,8 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     key = jax.random.PRNGKey(opt.noise_seed)
     cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)
     y_nos = _synth_noise(chunk, cyc, nx, key, fs, nhop,
-                         use_pallas=opt.use_pallas)
+                         use_pallas=opt.use_pallas,
+                         idft=opt.noise_idft)
     return SynthResult(y=y_sin + y_nos, y_sin=y_sin, y_nos=y_nos, fs=fs)
 
 

@@ -375,16 +375,42 @@ def refine_f0(
         #    before this; same estimator, same window SPAN in seconds.
         fs_d = fs / D
         nx = x.shape[0]
-        X = jnp.fft.rfft(x.astype(jnp.float32))
-        # decimate IN the frequency domain: the lowpassed band lives in
-        # the first nx/D bins, so a small inverse transform produces the
-        # decimated signal directly -- the full-length irfft + [::D] was
-        # a pure waste of the dominant inverse-FFT cost (1/D keeps the
-        # irfft normalization consistent with the short length)
         nxd = nx // D
-        fbins_d = jnp.arange(nxd // 2 + 1, dtype=jnp.float32) * (fs / nx)
-        xd = jnp.fft.irfft(X[: nxd // 2 + 1] * (fbins_d < 0.45 * fs_d),
-                           n=nxd) * (1.0 / D)
+        # polyphase decimating FIR instead of the former full-length
+        # rfft/irfft pair: nx is not a power of two (nfrm*nhop), and
+        # mixed-radix XLA TPU FFTs run at ~0.04 TF/s (round-3 roofline)
+        # -- the brick-wall decimation dominated the whole refine stage.
+        # A windowed-sinc lowpass with the same protected band costs
+        # ~2 MFLOP/utterance in plain VPU ops.  Linear phase (odd-length
+        # symmetric taps, integer group delay) leaves the phase-slope
+        # estimator unbiased; the D-selection guarantees
+        # fs_d > 2.44*f0_ceil, so the transition band
+        # [1.12*f0_ceil, fs_d - 1.12*f0_ceil] is nonempty and everything
+        # aliasing below 1.12*f0_ceil is >= 60 dB down.
+        import numpy as _np
+        pass_hz = 1.12 * f0_ceil
+        stop_hz = fs_d - pass_hz
+        beta = 0.1102 * (65.0 - 8.7)
+        ntaps = int(_np.ceil(
+            (65.0 - 7.95) / (2.285 * 2.0 * _np.pi
+                             * ((stop_hz - pass_hz) / fs)))) | 1
+        g = (ntaps - 1) // 2
+        n_t = _np.arange(ntaps) - g
+        fc = 0.5 * (pass_hz + stop_hz) / fs          # cycles per sample
+        h_t = 2.0 * fc * _np.sinc(2.0 * fc * n_t) * _np.kaiser(ntaps, beta)
+        h_t = h_t / h_t.sum()
+        Qh = -(-ntaps // D)
+        hq = jnp.asarray(
+            _np.pad(h_t, (0, Qh * D - ntaps)).reshape(Qh, D), jnp.float32)
+        # xd[m] = sum_t h[t] x[m*D + t - g]: pad so index t=0 maps to
+        # row/col (m + q, p) of the hop-blocked buffer (t = q*D + p)
+        padL = g
+        padR = Qh * D - g                 # covers t up to ntaps-1 at m=nxd-1
+        xp_f = jnp.pad(x.astype(jnp.float32), (padL, padR))
+        B = xp_f[: ((nx + padL + padR) // D) * D].reshape(-1, D)
+        xd = jnp.zeros((nxd,), jnp.float32)
+        for q in range(Qh):
+            xd = xd + B[q:q + nxd, :] @ hq[q]
         nhop_d = nhop // D
         H_d = -(-H // D)
         delta_d = max(delta // D, 1)

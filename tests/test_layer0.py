@@ -115,6 +115,22 @@ class TestRoundTrip:
         py = np.mean(y[800:-800] ** 2)
         assert 0.5 < py / px < 2.0, (px, py)
 
+    def test_noise_idft_matmul_equals_fft(self):
+        """The MXU-matmul band iDFT (noise_idft="matmul", default) must be
+        sample-equivalent to the inverse-FFT reference path: same PRNG
+        bins, same shaping -- only the transform implementation differs."""
+        x, f0 = testsig.make_test_utterance(duration=0.5, noise_level=0.1)
+        opt = create_aoptions()
+        chunk = layer0.analyze(opt, x, f0)
+        ym = np.asarray(layer0.synthesize(
+            create_soptions(noise_idft="matmul"), chunk).y_nos)
+        yf = np.asarray(layer0.synthesize(
+            create_soptions(noise_idft="fft"), chunk).y_nos)
+        rms = np.sqrt(np.mean(yf**2))
+        assert rms > 0
+        err = np.sqrt(np.mean((ym - yf) ** 2))
+        assert err < 3e-4 * rms, (err, rms)
+
 
 def test_deconv_correction_tracks_gauss_seidel():
     """The analytic amplitude-track deconvolution (hm_correction="deconv",
