@@ -250,6 +250,11 @@ def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:
     conf_fields = {f.name for f in dataclasses.fields(ChunkConf)}
     conf_kw = {k: v for k, v in kw.items() if k in conf_fields}
     opt_kw = {k: v for k, v in kw.items() if k not in conf_fields}
+    from .fp import FP64
+    if FP64 and opt_kw.get("use_pallas"):
+        raise ValueError("use_pallas is unavailable under LLSM_FP64=1 "
+                         "(Mosaic kernels are float32-only; the f64 build "
+                         "is a CPU golden-reference mode)")
     thop = conf_kw.get("thop", ChunkConf.thop)
     fs_input = 0.0
     if abs(thop * fs - round(thop * fs)) > 1e-6:
@@ -264,4 +269,9 @@ def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:
 
 def create_soptions(fs: float = 16000.0, **kw) -> SynthesisOptions:
     """Reference-parity constructor (llsm_create_soptions)."""
+    from .fp import FP64
+    if FP64 and kw.get("use_pallas"):
+        raise ValueError("use_pallas is unavailable under LLSM_FP64=1 "
+                         "(Mosaic kernels are float32-only; the f64 build "
+                         "is a CPU golden-reference mode)")
     return SynthesisOptions(fs=fs, **kw)

@@ -19,6 +19,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .fp import FP
+
 from .config import ChunkConf
 
 
@@ -110,7 +112,7 @@ class Chunk:
 
 def create_chunk(conf: ChunkConf, nfrm: int, batch_shape=()) -> Chunk:
     """Zero-initialized chunk (reference: frame.c -> llsm_create_chunk)."""
-    z = lambda *s: jnp.zeros(batch_shape + s, jnp.float32)
+    z = lambda *s: jnp.zeros(batch_shape + s, FP)
     K, C, Ke = conf.maxnhar, conf.nchannel, conf.maxnhar_e
     return Chunk(
         f0=z(nfrm), ampl=z(nfrm, K), phse=z(nfrm, K), hm_mask=z(nfrm, K),
@@ -158,7 +160,7 @@ def phase_propagate(chunk: Chunk, sign: int) -> Chunk:
     """
     K = chunk.ampl.shape[-1]
     cyc = cumulative_cycles(chunk.f0, chunk.conf.thop)      # [..., N]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     ph = _frac(cyc[..., :, None] * kharm)                   # [..., N, K]
     phse = chunk.phse + sign * 2.0 * jnp.pi * ph
     phse = jnp.arctan2(jnp.sin(phse), jnp.cos(phse))        # wrap to (-pi, pi]
@@ -170,7 +172,7 @@ def phase_shift(chunk: Chunk, dt: float) -> Chunk:
     phi_k += 2 pi (k+1) f0 dt (reference: frame.c -> llsm_frame_phaseshift
     applied chunk-wide).  Used to realign frames after retiming edits."""
     K = chunk.ampl.shape[-1]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     cyc = _frac(jnp.where(chunk.f0 > 0, chunk.f0, 0.0) * dt)
     ph = _frac(cyc[..., :, None] * kharm)
     phse = chunk.phse + 2.0 * jnp.pi * ph
@@ -182,7 +184,7 @@ def phase_sync(chunk: Chunk) -> Chunk:
     """Shift each frame's phases so the fundamental has phase 0
     (reference: frame.c -> llsm_frame_phasesync applied chunk-wide)."""
     K = chunk.ampl.shape[-1]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     shift = chunk.phse[..., :, :1] * kharm                  # (k+1)*phi_0
     phse = chunk.phse - shift
     phse = jnp.arctan2(jnp.sin(phse), jnp.cos(phse))

@@ -25,6 +25,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..fp import FP
 import optax
 
 from ..config import SynthesisOptions
@@ -50,7 +52,7 @@ def abs_refine(sopt: SynthesisOptions, chunk: Chunk, target: jnp.ndarray,
     fs = sopt.fs
     nhop = int(round(conf.thop * fs))
     nx = chunk.nfrm * nhop
-    t = jnp.asarray(target, jnp.float32)
+    t = jnp.asarray(target, FP)
     t = jnp.pad(t[:nx], (0, max(0, nx - t.shape[0])))
     centers = jnp.arange(chunk.nfrm, dtype=jnp.int32) * nhop
     cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)

@@ -21,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from ..config import ChunkConf
 from ..container import Chunk
 from ..ops import interp
@@ -109,10 +111,10 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
     psd = jnp.exp(jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]))
     K = c.maxnhar
-    zk = jnp.zeros((n, K), jnp.float32)
+    zk = jnp.zeros((n, K), FP)
     eenv_p = (sl["eenv_p"].reshape(n, c.nchannel, c.maxnhar_e)
               if coder.with_phase
-              else jnp.zeros((n, c.nchannel, c.maxnhar_e), jnp.float32))
+              else jnp.zeros((n, c.nchannel, c.maxnhar_e), FP))
     vsphse = sl["vsphse"] if coder.with_phase else zk
     return Chunk(
         f0=f0, ampl=zk, phse=zk, hm_mask=zk, psd=psd,

@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..fp import CP, FP
+
 from ..container import Chunk, phase_propagate
 from . import layer1
 
@@ -38,7 +40,7 @@ def _interp_frames(a: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
 def _interp_circular(ph: jnp.ndarray, w: jnp.ndarray, pos: jnp.ndarray):
     """Amplitude-weighted circular interpolation of phases."""
-    z = w * jnp.exp(1j * ph.astype(jnp.complex64))
+    z = w * jnp.exp(1j * ph.astype(CP))
     zi = _interp_frames(z, pos)
     return jnp.angle(zi)
 
@@ -51,12 +53,12 @@ def time_stretch(chunk: Chunk, ratio: float) -> Chunk:
     new timing."""
     n = chunk.nfrm
     m = max(int(round(n * ratio)), 2)
-    pos = jnp.clip(jnp.arange(m, dtype=jnp.float32) / ratio, 0.0, n - 1.0)
+    pos = jnp.clip(jnp.arange(m, dtype=FP) / ratio, 0.0, n - 1.0)
 
     rel = phase_propagate(chunk, -1)
 
     # voicing: a target frame is voiced only if both source neighbors are
-    voiced_f = (chunk.f0 > 0).astype(jnp.float32)
+    voiced_f = (chunk.f0 > 0).astype(FP)
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
     voiced_new = (voiced_f[i0] > 0) & (voiced_f[i0 + 1] > 0)
 
@@ -65,7 +67,7 @@ def time_stretch(chunk: Chunk, ratio: float) -> Chunk:
 
     ampl = _interp_frames(rel.ampl, pos)
     phse = _interp_circular(rel.phse, jnp.maximum(rel.ampl, 1e-8), pos)
-    mask = (_interp_frames(rel.hm_mask, pos) > 0.999).astype(jnp.float32)
+    mask = (_interp_frames(rel.hm_mask, pos) > 0.999).astype(FP)
     mask = mask * voiced_new[:, None]
 
     out = Chunk(

@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from ..config import AnalysisOptions, ChunkConf, SynthesisOptions
 from ..container import Chunk
 from ..ops import harmonics, interp, spectral, warp, windows
@@ -97,7 +99,7 @@ def _band_envelopes(residual: jnp.ndarray, conf: ChunkConf,
         f = jnp.fft.fftfreq(nfft, 1.0 / conf.fs)
         for c in range(conf.nchannel):
             lo, hi = edges[c], edges[c + 1]
-            m = ((f >= lo) & (f < hi)).astype(jnp.float32)
+            m = ((f >= lo) & (f < hi)).astype(FP)
             analytic = jnp.fft.ifft(X * m * 2.0)
             envs.append(jnp.abs(analytic)[:nx])
         return jnp.stack(envs, axis=0)
@@ -128,7 +130,7 @@ def _warped_psd(residual: jnp.ndarray, centers: jnp.ndarray,
     # (measured ~25x slice-vs-gather gap on v5e; docs/STATUS.md)
     nfrm = centers.shape[0]
     frames = harmonics.frame_hops(residual, nfrm, nhop, 2)
-    w = jnp.hanning(winlen).astype(jnp.float32)
+    w = jnp.hanning(winlen).astype(FP)
     pgram = spectral.periodogram(frames, w, nfft)           # [N, nfft//2+1]
     band_mat = warp.warped_band_matrix(conf.npsd, nfft // 2 + 1, conf.fs,
                                        conf.noswarp)        # [npsd, nbin]
@@ -148,7 +150,7 @@ def _aligned_track(ampl, phse, cyc, centers):
     """Phase-aligned complex amplitude tracks c'_k[i] = a e^{j phi}
     e^{-2 pi j k cyc[c_i]} (mod-1 phase args) and the alignment field."""
     K = ampl.shape[1]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     ph = kharm[None, :] * cyc[centers][:, None]
     ph = ph - jnp.round(ph)
     align = jnp.exp(-2j * jnp.pi * ph)
@@ -222,9 +224,9 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
         return (jnp.sqrt(c_re**2 + c_im**2) * mask,
                 jnp.arctan2(c_im, c_re) * mask)
 
-    r = (-nhop + (jnp.arange(nq, dtype=jnp.float32) + 0.5) * stride)
+    r = (-nhop + (jnp.arange(nq, dtype=FP) + 0.5) * stride)
     w_ola = (0.5 + 0.5 * jnp.cos(jnp.pi * r / nhop))[None, None, :]
-    d_off = jnp.arange(-D, D + 1, dtype=jnp.float32)        # [2D+1]
+    d_off = jnp.arange(-D, D + 1, dtype=FP)        # [2D+1]
     n_abs = d_off[None, :, None] * nhop + r[None, None, :]  # [1, 2D+1, nq]
     w_i = windows.window_centered("hanning", n_abs,
                                   halfwidth[:, None, None])
@@ -282,10 +284,10 @@ def _track_lowpass(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     N = ampl.shape[0]
     frame_rate = 1.0 / conf.thop
     M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
-    w = jnp.hanning(M + 2)[1:-1].astype(jnp.float32)
+    w = jnp.hanning(M + 2)[1:-1].astype(FP)
     w = w / jnp.sum(w)
     c, align = _aligned_track(ampl, phse, cyc, centers)
-    voiced = (f0 > 0).astype(jnp.float32)
+    voiced = (f0 > 0).astype(FP)
     h = M // 2
 
     def fir(v):
@@ -373,8 +375,8 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     Mp = int(round(frame_rate / (2.0 * cutoff_hz))) | 1
     wp_np = _np.hanning(Mp + 2)[1:-1]
     wp_np = wp_np / wp_np.sum()
-    voiced = (f0 > 0).astype(jnp.float32)
-    m = mask.astype(jnp.float32)
+    voiced = (f0 > 0).astype(FP)
+    m = mask.astype(FP)
 
     if use_pallas:
         # fully fused two-pass form (ops.pallas_osc): pass A reads the
@@ -400,7 +402,7 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                 jnp.arctan2(im, re) * mask)
 
     c, align = _aligned_track(ampl, phse, cyc, centers)
-    w = jnp.asarray(w_np, jnp.float32)
+    w = jnp.asarray(w_np, FP)
     h = M // 2
 
     def fir(v):
@@ -414,8 +416,8 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     r = c - c_s
 
     # coherent across-k fit r ~ (m0 + m1*k) * c_s, weighted by |c_s|^2
-    kh = jnp.arange(1, K + 1, dtype=jnp.float32)[None, :]
-    m = mask.astype(jnp.float32)
+    kh = jnp.arange(1, K + 1, dtype=FP)[None, :]
+    m = mask.astype(FP)
     p = (c_s.real**2 + c_s.imag**2) * m
     cr = jnp.conj(c_s) * r * m
     a00 = jnp.sum(p, axis=1)
@@ -441,7 +443,7 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     # seeing the window-lowpassed noise.  The probe UNDERestimates the
     # full gated-band noise (window shaping concentrates it low);
     # `strength` absorbs the shape factor -- leak is conservative.
-    wp = jnp.asarray(wp_np, jnp.float32)
+    wp = jnp.asarray(wp_np, FP)
     hp = Mp // 2
     lowp = jnp.zeros_like(r_inc)
     for j in range(Mp):
@@ -486,11 +488,11 @@ def analyze(opt: AnalysisOptions, x, f0) -> Chunk:
            for rates with a non-integral hop, e.g. 44100 Hz).
       f0:  [nfrm] F0 track at the frame rate 1/conf.thop (0 = unvoiced).
     """
-    x = jnp.asarray(x, jnp.float32)
+    x = jnp.asarray(x, FP)
     if opt.fs_input and abs(opt.fs_input - opt.conf.fs) > 1e-9:
         from ..ops import resample
         x = resample.resample_to(x, opt.fs_input, opt.conf.fs)
-    return _analyze_jit(opt, x, jnp.asarray(f0, jnp.float32))
+    return _analyze_jit(opt, x, jnp.asarray(f0, FP))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -512,9 +514,9 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             # voicing-masked moving average of the refine CORRECTION:
             # keeps the track's own frame-rate detail (jitter), removes
             # the estimator's (see config.AnalysisOptions.f0_refine_smooth)
-            voiced_m = (f0 > 0).astype(jnp.float32)
+            voiced_m = (f0 > 0).astype(FP)
             delta = (f0_ref - f0) * voiced_m
-            k = jnp.ones((S,), jnp.float32)
+            k = jnp.ones((S,), FP)
             num = jnp.convolve(delta, k, mode="same")
             den = jnp.maximum(jnp.convolve(voiced_m, k, mode="same"), 1.0)
             f0 = jnp.where(voiced_m > 0, f0 + num / den, 0.0)
@@ -635,11 +637,11 @@ def _env_coefs(chunk: Chunk, cyc=None, centers=None):
     was preserved (edc) but its glottal-cycle texture rendered flat
     (measured power-modulation depth 0.003 vs 0.75 true on the voiced-
     fricative fixture -- a bug no energy/PSD oracle could see)."""
-    voiced = (chunk.f0 > 0).astype(jnp.float32)
+    voiced = (chunk.f0 > 0).astype(FP)
     ph = chunk.eenv_p
     if cyc is not None:
         Ke = chunk.eenv_a.shape[-1]
-        kh = jnp.arange(1, Ke + 1, dtype=jnp.float32)
+        kh = jnp.arange(1, Ke + 1, dtype=FP)
         rot = kh[None, None, :] * cyc[centers][:, None, None]
         ph = ph / (2.0 * jnp.pi) - rot
         ph = (ph - jnp.round(ph)) * (2.0 * jnp.pi)
@@ -682,7 +684,7 @@ def _render_envelopes(chunk: Chunk, cyc, centers, nx: int, nhop: int,
     # frames i and i+1, so the "gather" is a broadcast over a [N, nhop]
     # reshape -- zero gather ops (the per-sample a[i0] gather was ~30% of
     # the whole synthesis cost on TPU; see docs/STATUS.md round-2 profile)
-    t = ((jnp.arange(nhop, dtype=jnp.float32) / nhop)
+    t = ((jnp.arange(nhop, dtype=FP) / nhop)
          [None, :])                                          # [1, nhop]
 
     def lerp(a):  # [N, ...] -> [nx, ...]
@@ -734,9 +736,9 @@ def _band_segments(shaped_spec, masks, w, T: int, idft: str):
         b = jnp.arange(nbin, dtype=jnp.int32)
         t = jnp.arange(T, dtype=jnp.int32)
         # exact cycles-mod-1 via integer arithmetic before trig
-        cycbt = ((b[:, None] * t[None, :]) % T).astype(jnp.float32) / T
+        cycbt = ((b[:, None] * t[None, :]) % T).astype(FP) / T
         ang = 2.0 * jnp.pi * cycbt
-        wb = jnp.full((nbin,), 2.0 / T, jnp.float32)
+        wb = jnp.full((nbin,), 2.0 / T, FP)
         wb = wb.at[0].set(1.0 / T).at[-1].set(1.0 / T)
         scale = wb[:, None] * w[None, :]                     # [nbin, T]
         cos_m = jnp.cos(ang) * scale
@@ -789,7 +791,7 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
 
     # sqrt-Hann WOLA pair: perfect reconstruction at 50% overlap
     w = jnp.sqrt(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T))
-    w = w.astype(jnp.float32)
+    w = w.astype(FP)
 
     # PSD axis is warped over the ANALYSIS band [0, conf.fs/2]; the output
     # grid spans [0, fs/2].  SPEC for fs > conf.fs (upsampling): the
@@ -824,8 +826,8 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
     # synthesized PSD match the analysis periodogram convention exactly
     # (validated by TestRoundTrip.test_noise_psd_reproduced).
     kr, ki = jax.random.split(key)
-    re = jax.random.normal(kr, (N, nbin), jnp.float32)
-    im = jax.random.normal(ki, (N, nbin), jnp.float32)
+    re = jax.random.normal(kr, (N, nbin), FP)
+    im = jax.random.normal(ki, (N, nbin), FP)
     im = im.at[:, 0].set(0.0).at[:, -1].set(0.0)
     scale = jnp.full((nbin,), jnp.sqrt(T / 2.0))
     scale = scale.at[0].set(jnp.sqrt(float(T))).at[-1].set(
@@ -835,7 +837,7 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
 
     shaped_spec = spec * gain                                   # [N, nbin]
     masks = jnp.stack([
-        ((f >= edges[c]) & (f < edges[c + 1])).astype(jnp.float32)
+        ((f >= edges[c]) & (f < edges[c + 1])).astype(FP)
         for c in range(conf.nchannel)])                         # [C, nbin]
 
     band_segs = _band_segments(shaped_spec, masks, w, T, idft)  # [C, N, T]
@@ -849,7 +851,7 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
         return noise_mod_ola_pallas(cyc, edc_m, ar, ai, base_v, band_segs)
 
     env, base = _render_envelopes(chunk, cyc, centers, nx, nhop)  # [C, nx]
-    y = jnp.zeros(nx, jnp.float32)
+    y = jnp.zeros(nx, FP)
     for c in range(conf.nchannel):
         band = harmonics.overlap_add_half(band_segs[c], nhop, nx)
         y = y + band * (env[c] / base[c])
@@ -889,7 +891,7 @@ def _synthesize_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)
 
     K = chunk.ampl.shape[-1]
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     nyq_mask = (kharm[None, :] * jnp.where(chunk.f0 > 0, chunk.f0, 100.0)
                 [:, None]) < 0.5 * fs
     hm_mask = chunk.hm_mask * nyq_mask
@@ -919,7 +921,7 @@ def analyze_batch(opt: AnalysisOptions, x, f0) -> Chunk:
     batch axis.  Shard the inputs over a mesh's batch axis (see
     parallel.mesh.shard_batch) to run data-parallel."""
     return jax.vmap(lambda a, b: _analyze_jit(opt, a, b))(
-        jnp.asarray(x, jnp.float32), jnp.asarray(f0, jnp.float32))
+        jnp.asarray(x, FP), jnp.asarray(f0, FP))
 
 
 def synthesize_batch(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:

@@ -28,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from ..container import Chunk
 from ..ops import interp, lf, spectral
 
@@ -40,7 +42,7 @@ LOG_FLOOR = -23.0  # ~ -200 dB
 
 def _rd_grid():
     return jnp.exp(jnp.linspace(jnp.log(RD_MIN), jnp.log(RD_MAX),
-                                RD_GRID_SIZE)).astype(jnp.float32)
+                                RD_GRID_SIZE)).astype(FP)
 
 
 @functools.lru_cache(maxsize=8)
@@ -57,7 +59,7 @@ def _source_tables(max_k: int):
     with jax.ensure_compile_time_eval():
         grid = _rd_grid()
         params = lf.lf_from_rd(grid)                   # batched over G
-        f_norm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+        f_norm = jnp.arange(1, max_k + 1, dtype=FP)
         spec = lf.lf_spectrum(f_norm[None, :], jax.tree.map(
             lambda a: a[:, None], params))             # [G, K]
         mag0 = jnp.abs(spec[:, :1])
@@ -96,7 +98,7 @@ def _phase_dev_tables(max_k: int):
     with jax.ensure_compile_time_eval():
         _, src_logmag, src_phase = (jnp.asarray(t) for t in
                                     _source_tables(max_k))
-        kh = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+        kh = jnp.arange(1, max_k + 1, dtype=FP)
         model_logmag = src_logmag + jnp.log(kh)[None, :]   # + lip tilt
         dmodel = src_phase + 0.5 * jnp.pi - _pseudo_mp(model_logmag)
     return np.asarray(dmodel)
@@ -144,14 +146,14 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
         # 900 Hz zero at f0 = 200).  The Rd signature is strongest in
         # the lowest harmonics anyway (the classic H1-H2/H1-H4 measures);
         # always keep at least 3 so high-F0 voices stay determined.
-        khf = jnp.arange(1, KF + 1, dtype=jnp.float32)
+        khf = jnp.arange(1, KF + 1, dtype=FP)
         keep = (khf[None, :] * jnp.maximum(f0, 1.0)[:, None] < fcap) \
             | (khf[None, :] <= 3.0)
         w0 = w0 * keep
     diff = dmeas[:, None, :KF] - dmodel[None, :, :KF]       # [N, G, KF]
     theta = jnp.linspace(0.0, 2.0 * jnp.pi, RD_PHASE_TGRID,
                          endpoint=False)
-    kf = jnp.arange(1, KF + 1, dtype=jnp.float32)
+    kf = jnp.arange(1, KF + 1, dtype=FP)
     basis = jnp.exp(-1j * kf[None, :] * theta[:, None])     # [T, KF]
 
     def solve(w):
@@ -185,7 +187,7 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
     w1 = w0 / (1.0 + (res / 0.5) ** 2)
     score, g, _ = solve(w1)
     gf, _ = spectral.qifft(score, g)
-    log_rd = jnp.interp(gf, jnp.arange(RD_GRID_SIZE, dtype=jnp.float32),
+    log_rd = jnp.interp(gf, jnp.arange(RD_GRID_SIZE, dtype=FP),
                         jnp.log(grid))
     return jnp.exp(log_rd)
 
@@ -209,12 +211,12 @@ def fit_rd(log_ampl: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     KR = RD_FIT_HARMONICS
     d = (log_ampl - log_ampl[..., :1])[..., :KR]            # measured tilt
     s = (src_logmag - src_logmag[:, :1])[:, :KR]            # [G, KR]
-    wgt = (mask[..., :KR] / jnp.arange(1, KR + 1, dtype=jnp.float32))
+    wgt = (mask[..., :KR] / jnp.arange(1, KR + 1, dtype=FP))
     err = jnp.sum(wgt[:, None, :] * (d[:, None, :] - s[None, :, :]) ** 2,
                   axis=-1)                                  # [N, G]
     k = jnp.argmin(err, axis=-1)
     kf, _ = spectral.qifft(-err, k)
-    log_rd = jnp.interp(kf, jnp.arange(RD_GRID_SIZE, dtype=jnp.float32),
+    log_rd = jnp.interp(kf, jnp.arange(RD_GRID_SIZE, dtype=FP),
                         jnp.log(grid))
     return jnp.exp(log_rd)
 
@@ -253,7 +255,7 @@ def chunk_to_layer1(chunk: Chunk, nfft: int | None = None) -> Chunk:
     N, K = chunk.ampl.shape
     voiced = chunk.f0 > 0
     f0s = jnp.where(voiced, chunk.f0, 100.0)
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     fk = kharm[None, :] * f0s[:, None]                      # [N, K]
 
     log_ampl = jnp.where(chunk.hm_mask > 0,
@@ -316,9 +318,9 @@ def chunk_to_layer0(chunk: Chunk) -> Chunk:
     N, K = chunk.ampl.shape
     voiced = chunk.f0 > 0
     f0s = jnp.where(voiced, chunk.f0, 100.0)
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     fk = kharm[None, :] * f0s[:, None]
-    mask = (voiced[:, None] & (fk < conf.fnyq)).astype(jnp.float32)
+    mask = (voiced[:, None] & (fk < conf.fnyq)).astype(FP)
 
     src_logmag, src_phase = _source_at_harmonics(chunk.rd, K)
     lip_logmag = lip_radiation_logmag(fk, conf.lip_radius)

@@ -19,6 +19,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..fp import CP, FP
+
 from ..config import SynthesisOptions
 from ..container import Chunk
 from ..ops import harmonics, lf, spectral
@@ -35,10 +37,10 @@ def _pulse_onsets(f0: jnp.ndarray, thop: float, p_max: int):
     n = f0.shape[0]
     d = jnp.where(f0 > 0, f0, 0.0) * thop
     cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(d)])        # [n+1]
-    t_knots = jnp.arange(n + 1, dtype=jnp.float32) * thop
+    t_knots = jnp.arange(n + 1, dtype=FP) * thop
     # strictly increasing copy for inversion (flat = unvoiced -> tiny slope)
-    cum_inv = cum + jnp.arange(n + 1, dtype=jnp.float32) * 1e-6
-    p_idx = jnp.arange(p_max, dtype=jnp.float32)
+    cum_inv = cum + jnp.arange(n + 1, dtype=FP) * 1e-6
+    p_idx = jnp.arange(p_max, dtype=FP)
     t_on = jnp.interp(p_idx, cum_inv, t_knots)
     valid = p_idx < cum[-1]
     # pulses must land in voiced frames
@@ -71,7 +73,7 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     fbins = jnp.linspace(0.0, fs / 2.0, nspec)
     lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)
            * conf.lip_radius / layer1.SPEED_OF_SOUND) * jnp.exp(
-               1j * jnp.pi / 2.0).astype(jnp.complex64)
+               1j * jnp.pi / 2.0).astype(CP)
 
     params = lf.lf_from_rd(rd_p)                               # batched [P]
     f_norm = fbins[None, :] * period[:, None]                  # [P, nspec]
@@ -98,7 +100,7 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
 
     idx = onset_int[:, None] + jnp.arange(nfft)[None, :]
     idx = jnp.clip(idx, 0, nx + nfft - 1)
-    y_sin = jnp.zeros(nx + nfft, jnp.float32).at[idx.reshape(-1)].add(
+    y_sin = jnp.zeros(nx + nfft, FP).at[idx.reshape(-1)].add(
         pulses.reshape(-1))[:nx]
 
     key = jax.random.PRNGKey(opt.noise_seed)

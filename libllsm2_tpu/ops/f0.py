@@ -25,6 +25,8 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from .interp import fetch_frames
 
 
@@ -71,7 +73,7 @@ def _difference_function(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
 def _cmndf(d: jnp.ndarray) -> jnp.ndarray:
     """Cumulative-mean-normalized difference: d'(0)=1,
     d'(tau) = d(tau) * tau / sum_{1..tau} d."""
-    tau = jnp.arange(d.shape[-1], dtype=jnp.float32)
+    tau = jnp.arange(d.shape[-1], dtype=FP)
     csum = jnp.cumsum(d, axis=-1)
     out = d * tau / jnp.maximum(csum, 1e-9)
     return out.at[..., 0].set(1.0)
@@ -87,7 +89,7 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
     nhop = cfg.nhop
     nfrm = x.shape[0] // nhop
     centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
-    frames = fetch_frames(x.astype(jnp.float32), centers, cfg.winlen // 2)
+    frames = fetch_frames(x.astype(FP), centers, cfg.winlen // 2)
     frames = frames[:, :cfg.winlen]
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
 
@@ -122,7 +124,7 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
     # [nbin, B] matmul, no gathers.
     if cfg.hs_weight > 0.0:
         nfft_hs = 2 * cfg.winlen
-        win = jnp.hanning(cfg.winlen).astype(jnp.float32)
+        win = jnp.hanning(cfg.winlen).astype(FP)
         mag = jnp.abs(jnp.fft.rfft(frames * win[None, :], n=nfft_hs))
         nbin = nfft_hs // 2 + 1
         df = fs / nfft_hs
@@ -195,7 +197,7 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
     denom = a - 2.0 * b + c
     delta = jnp.where(jnp.abs(denom) > 1e-12,
                       jnp.clip(0.5 * (a - c) / denom, -1.0, 1.0), 0.0)
-    lag_ref = i0.astype(jnp.float32) + delta
+    lag_ref = i0.astype(FP) + delta
     f0 = fs / jnp.maximum(lag_ref, 1.0)
     f0 = jnp.clip(f0, cfg.f0_floor, cfg.f0_ceil)
     return jnp.where(voiced, f0, 0.0)

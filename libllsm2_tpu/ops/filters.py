@@ -8,6 +8,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from .spectral import next_pow2
 
 
@@ -17,7 +19,7 @@ def fir1_bandpass(numtaps: int, lo: float, hi: float, fs: float,
     lo=0 gives lowpass, hi=fs/2 gives highpass."""
     from .windows import window_eval
 
-    n = jnp.arange(numtaps, dtype=jnp.float32) - (numtaps - 1) / 2.0
+    n = jnp.arange(numtaps, dtype=FP) - (numtaps - 1) / 2.0
     f1, f2 = lo / fs * 2.0, hi / fs * 2.0     # normalized to Nyquist=1
 
     def sinc_lp(fc):
@@ -48,8 +50,8 @@ def fftfilt(h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 def biquad(x: jnp.ndarray, b, a) -> jnp.ndarray:
     """Direct-form-II-transposed second-order section via lax.scan
     (reference: ciglet biquad filters).  b = (b0,b1,b2), a = (1,a1,a2)."""
-    b0, b1, b2 = [jnp.float32(v) for v in b]
-    _, a1, a2 = [jnp.float32(v) for v in a]
+    b0, b1, b2 = [FP(v) for v in b]
+    _, a1, a2 = [FP(v) for v in a]
 
     def step(carry, xn):
         z1, z2 = carry
@@ -58,7 +60,7 @@ def biquad(x: jnp.ndarray, b, a) -> jnp.ndarray:
         z2n = b2 * xn - a2 * yn
         return (z1n, z2n), yn
 
-    _, y = jax.lax.scan(step, (jnp.float32(0), jnp.float32(0)), x)
+    _, y = jax.lax.scan(step, (FP(0), FP(0)), x)
     return y
 
 

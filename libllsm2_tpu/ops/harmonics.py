@@ -21,6 +21,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 from .windows import window_centered
 
 
@@ -46,7 +48,7 @@ def sample_cycles(f0: jnp.ndarray, nhop: int, fs: float, nx: int) -> jnp.ndarray
     """
     n = f0.shape[0]
     f0s = jnp.where(f0 > 0, f0, 0.0)
-    pos = jnp.arange(nx, dtype=jnp.float32) / nhop
+    pos = jnp.arange(nx, dtype=FP) / nhop
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
     t = jnp.clip(pos - i0, 0.0, 1.0)
     f0_samp = f0s[i0] * (1.0 - t) + f0s[i0 + 1] * t
@@ -150,8 +152,8 @@ def harmonic_analysis(
     """
     H = halfwin_max
     W = 2 * H + 1
-    n_off = jnp.arange(W, dtype=jnp.float32) - H
-    kharm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+    n_off = jnp.arange(W, dtype=FP) - H
+    kharm = jnp.arange(1, max_k + 1, dtype=FP)
 
     voiced = f0 > 0.0
     f0s = jnp.where(voiced, f0, 100.0)
@@ -207,7 +209,7 @@ def harmonic_analysis(
             re2 = re * jnp.cos(ang_c) - im * jnp.sin(ang_c)
             im2 = re * jnp.sin(ang_c) + im * jnp.cos(ang_c)
             phse = jnp.arctan2(im2, re2)
-            m = mask.astype(jnp.float32)
+            m = mask.astype(FP)
             if with_dc:
                 return ampl * m, phse * m, m, xsum / wsum
             return ampl * m, phse * m, m
@@ -221,7 +223,7 @@ def harmonic_analysis(
             C = hh * nhop            # window center position in the buffer
         else:
             Wf, C = W, H
-        noff = jnp.arange(Wf, dtype=jnp.float32)[None, :] - C
+        noff = jnp.arange(Wf, dtype=FP)[None, :] - C
         lo = C - hw_int
         hi = C + hw_int + 1
         cyc_c = cyc[centers]                                  # [N] (tiny)
@@ -252,7 +254,7 @@ def harmonic_analysis(
             FC = frame_chunk
             padf = (-N) % FC
             nfrm_p = N + padf
-            xpad = jnp.pad(x.astype(jnp.float32), (C, C + padf * nhop))
+            xpad = jnp.pad(x.astype(FP), (C, C + padf * nhop))
             cycpad = jnp.pad(cyc, (C, C + padf * nhop), mode="edge")
             hbx = xpad.reshape(nfrm_p + 2 * hh, nhop)
             hbc = cycpad.reshape(nfrm_p + 2 * hh, nhop)
@@ -282,19 +284,19 @@ def harmonic_analysis(
             phse = phse.reshape(-1, max_k)[:N]
             dcv = dcv.reshape(-1)[:N]
         elif nhop is not None:
-            frames = frame_hops(x.astype(jnp.float32), N, nhop, hh)
+            frames = frame_hops(x.astype(FP), N, nhop, hh)
             dcf = frame_hops(cyc, N, nhop, hh, mode="edge") \
                 - cyc_c[:, None]
             ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
         else:
             # non-uniform centers: fall back to gather framing
-            xp_g = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+            xp_g = jnp.pad(x, (H, H + 1)).astype(FP)
             idx = centers[:, None] + jnp.arange(W)[None, :]
             frames = xp_g[idx]
             dcf = cycle_segments(cyc, centers, H)
             ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
     else:
-        xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+        xp = jnp.pad(x, (H, H + 1)).astype(FP)
         dc_all = cycle_segments(cyc, centers, H)             # [N, W]
         pad = (-N) % chunk
         cs = jnp.pad(centers, (0, pad)).reshape(-1, chunk)
@@ -305,7 +307,7 @@ def harmonic_analysis(
         ampl = ampl.reshape(-1, max_k)[:N]
         phse = phse.reshape(-1, max_k)[:N]
         dcv = dcv.reshape(-1)[:N]
-    m = mask.astype(jnp.float32)
+    m = mask.astype(FP)
     if with_dc:
         return ampl * m, phse * m, m, dcv
     return ampl * m, phse * m, m
@@ -338,9 +340,9 @@ def refine_f0(
     """
     H = halfwin_max
     W = 2 * H + 1
-    n_off = jnp.arange(W, dtype=jnp.float32) - H
+    n_off = jnp.arange(W, dtype=FP) - H
     voiced = f0 > 0.0
-    xp = jnp.pad(x, (H + W, H + W + 1)).astype(jnp.float32)
+    xp = jnp.pad(x, (H + W, H + W + 1)).astype(FP)
     delta = max(H // 8, 2)
     dt = 2.0 * delta / fs
 
@@ -401,14 +403,14 @@ def refine_f0(
         h_t = h_t / h_t.sum()
         Qh = -(-ntaps // D)
         hq = jnp.asarray(
-            _np.pad(h_t, (0, Qh * D - ntaps)).reshape(Qh, D), jnp.float32)
+            _np.pad(h_t, (0, Qh * D - ntaps)).reshape(Qh, D), FP)
         # xd[m] = sum_t h[t] x[m*D + t - g]: pad so index t=0 maps to
         # row/col (m + q, p) of the hop-blocked buffer (t = q*D + p)
         padL = g
         padR = Qh * D - g                 # covers t up to ntaps-1 at m=nxd-1
-        xp_f = jnp.pad(x.astype(jnp.float32), (padL, padR))
+        xp_f = jnp.pad(x.astype(FP), (padL, padR))
         B = xp_f[: ((nx + padL + padR) // D) * D].reshape(-1, D)
-        xd = jnp.zeros((nxd,), jnp.float32)
+        xd = jnp.zeros((nxd,), FP)
         for q in range(Qh):
             xd = xd + B[q:q + nxd, :] @ hq[q]
         nhop_d = nhop // D
@@ -422,7 +424,7 @@ def refine_f0(
         fr = frame_hops(xd, N, nhop_d, hh)
 
         def fundamental_phase_fr(coff, f0s, halfwidth_d):
-            noff_f = jnp.arange(Wf, dtype=jnp.float32)[None, :] - coff
+            noff_f = jnp.arange(Wf, dtype=FP)[None, :] - coff
             w = window_centered(window, noff_f, halfwidth_d[:, None])
             xw = fr * w
             arg = (2.0 * jnp.pi) * _phase_cycles(noff_f,
@@ -454,8 +456,8 @@ def refine_f0(
             # uses ph_p - ph_m at EQUAL halfwidth, so the shift cancels.
             from .pallas_osc import harmonic_project_pallas
             hw_int = jnp.ceil(halfwidth).astype(jnp.int32)
-            noff = jnp.arange(W, dtype=jnp.float32)[None, :] \
-                - hw_int[:, None].astype(jnp.float32)
+            noff = jnp.arange(W, dtype=FP)[None, :] \
+                - hw_int[:, None].astype(FP)
             idx = (cts + W + H - hw_int)[:, None] + jnp.arange(W)[None, :]
             frames = xp[idx]
             w = window_centered(window, noff, halfwidth[:, None])
@@ -514,10 +516,10 @@ def oscillator_bank(
     """
     N, K = ampl.shape
     T = 2 * nhop
-    kharm = jnp.arange(1, K + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, K + 1, dtype=FP)
     # periodic Hann: sums to 1 at 50% overlap
     w_ola = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(T) + 0.5) / T)
-    w_ola = w_ola.astype(jnp.float32)
+    w_ola = w_ola.astype(FP)
 
     if use_pallas:
         from .pallas_osc import osc_bank_pallas
@@ -528,7 +530,7 @@ def oscillator_bank(
         # would truncate the loop below real content
         dc_all = frame_hops(cyc, N, nhop, 1, mode="edge") \
             - cyc[centers][:, None]
-        kslots = jnp.arange(1, K + 1, dtype=jnp.float32)
+        kslots = jnp.arange(1, K + 1, dtype=FP)
         kl = jnp.max(kslots[None, :] * (mask > 0),
                      axis=-1).astype(jnp.int32)
         segs = osc_bank_pallas(dc_all, ampl, phse, mask, kl=kl)
@@ -602,7 +604,7 @@ def harmonic_peak_pick(
     from .spectral import next_pow2, qifft
 
     H = halfwin_max
-    kharm = jnp.arange(1, max_k + 1, dtype=jnp.float32)
+    kharm = jnp.arange(1, max_k + 1, dtype=FP)
 
     voiced = f0 > 0.0
     f0s = jnp.where(voiced, f0, 100.0)
@@ -614,12 +616,12 @@ def harmonic_peak_pick(
         hh = -(-H // nhop)
         W = 2 * hh * nhop
         C = hh * nhop
-        frames = frame_hops(x.astype(jnp.float32), N_, nhop, hh)
-        n_off = jnp.arange(W, dtype=jnp.float32) - C
+        frames = frame_hops(x.astype(FP), N_, nhop, hh)
+        n_off = jnp.arange(W, dtype=FP) - C
     else:
         W = 2 * H + 1
-        n_off = jnp.arange(W, dtype=jnp.float32) - H
-        xp = jnp.pad(x, (H, H + 1)).astype(jnp.float32)
+        n_off = jnp.arange(W, dtype=FP) - H
+        xp = jnp.pad(x, (H, H + 1)).astype(FP)
         idx = centers[:, None] + jnp.arange(W)[None, :]
         frames = xp[idx]
     nfft = next_pow2(W)
@@ -639,7 +641,7 @@ def harmonic_peak_pick(
         logmag[:, None, :], cand, axis=-1)                   # [N, K, L]
     # restrict to +/- 0.4 f0 so neighbors' peaks are out of reach
     lim = 0.4 * f0s[:, None, None] / fs * nfft
-    valid = jnp.abs(cand.astype(jnp.float32)
+    valid = jnp.abs(cand.astype(FP)
                     - bin_exp[:, :, None]) <= lim
     lm_masked = jnp.where(valid, lm_local, -1e9)
     pk = jnp.argmax(lm_masked, axis=-1)                      # [N, K]
@@ -673,5 +675,5 @@ def harmonic_peak_pick(
     wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
     ampl = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
     phse = jnp.arctan2(im, re)
-    m = mask.astype(jnp.float32)
+    m = mask.astype(FP)
     return ampl * m, phse * m, m

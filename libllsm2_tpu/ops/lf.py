@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 
 class LFParams(NamedTuple):
     tp: jnp.ndarray   # instant of max flow (normalized to T0=1)
@@ -62,7 +64,7 @@ def lf_from_rd(rd, iters: int = 60) -> LFParams:
 
     rd may be any shape; all outputs broadcast with it.
     """
-    rd = jnp.asarray(rd, jnp.float32)
+    rd = jnp.asarray(rd, FP)
     rd = jnp.clip(rd, 0.05, 6.0)
     rap = (-1.0 + 4.8 * rd) / 100.0
     rkp = (22.4 + 11.8 * rd) / 100.0
@@ -104,7 +106,7 @@ def lf_spectrum(f_norm, p: LFParams, ee=1.0) -> jnp.ndarray:
     Reference: ciglet.h -> lfmodel_spectrum.  Broadcasts f_norm against the
     (already broadcast-compatible) LFParams.
     """
-    w = 2.0 * jnp.pi * jnp.asarray(f_norm, jnp.float32)
+    w = 2.0 * jnp.pi * jnp.asarray(f_norm, FP)
     w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
     wg = jnp.pi / p.tp
     s = p.alpha - 1j * w
@@ -127,7 +129,7 @@ def lf_flow_deriv(t_norm, p: LFParams, ee=1.0) -> jnp.ndarray:
     """LF glottal flow derivative sampled at normalized times t_norm in
     [0, 1) (reference: ciglet.h -> lfmodel_flow; we return the derivative,
     which is what excites the vocal tract in PbP synthesis)."""
-    t = jnp.asarray(t_norm, jnp.float32)
+    t = jnp.asarray(t_norm, FP)
     wg = jnp.pi / p.tp
     # E0*exp(alpha*t) = e0*exp(alpha*(t-te)): t <= te keeps this bounded.
     open_phase = p.e0 * ee * jnp.exp(p.alpha * (t - p.te)) * jnp.sin(wg * t)

@@ -22,6 +22,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ..fp import FP
+
 
 def _kaiser_sinc_weights(frac: jnp.ndarray, taps: int, cutoff: float,
                          beta: float) -> jnp.ndarray:
@@ -31,7 +33,7 @@ def _kaiser_sinc_weights(frac: jnp.ndarray, taps: int, cutoff: float,
     Returns [M, taps] weights over input samples n0 .. n0+taps-1 where
     n0 = floor(pos) - taps//2 + 1.
     """
-    j = jnp.arange(taps, dtype=jnp.float32)
+    j = jnp.arange(taps, dtype=FP)
     # offset of tap j from the exact position: t = j - (taps//2 - 1) - frac
     t = j[None, :] - (taps // 2 - 1) - frac[:, None]          # [M, taps]
     h = cutoff * jnp.sinc(cutoff * t)
@@ -39,7 +41,7 @@ def _kaiser_sinc_weights(frac: jnp.ndarray, taps: int, cutoff: float,
     halfspan = taps / 2.0
     r2 = jnp.clip(1.0 - (t / halfspan) ** 2, 0.0, 1.0)
     win = jax.scipy.special.i0(beta * jnp.sqrt(r2)) \
-        / jax.scipy.special.i0(jnp.asarray(beta, jnp.float32))
+        / jax.scipy.special.i0(jnp.asarray(beta, FP))
     h = h * win
     # per-output normalization: exact DC preservation, kills the small
     # passband ripple of the truncated kernel
@@ -49,7 +51,7 @@ def _kaiser_sinc_weights(frac: jnp.ndarray, taps: int, cutoff: float,
 def _apply_kernel(x: jnp.ndarray, n0: jnp.ndarray, w: jnp.ndarray,
                   taps: int) -> jnp.ndarray:
     """y[m] = sum_j x[n0[m]+j] * w[m, j] with zero extension."""
-    xp = jnp.pad(jnp.asarray(x, jnp.float32), (taps, taps))
+    xp = jnp.pad(jnp.asarray(x, FP), (taps, taps))
     idx = n0[:, None] + taps + jnp.arange(taps)[None, :]
     idx = jnp.clip(idx, 0, xp.shape[0] - 1)
     return jnp.sum(xp[idx] * w, axis=-1)
@@ -113,14 +115,14 @@ def rresample(x: jnp.ndarray, p: int, q: int, taps: int = 32,
         a, r = m // p, m % p
         num = r * q                              # < p*q < 2^31
         n_int = a * q + num // p
-        frac = (num % p).astype(jnp.float32) / p
+        frac = (num % p).astype(FP) / p
     elif abs(d) * max(ny, 1) < 2 ** 31:
         # large coprime near-unity pair (e.g. 48000/48001): pos =
         # m*q/p = m + m*(q-p)/p stays exact in int32
         m = jnp.arange(ny)
         md = m * d
         n_int = m + md // p                      # floor division
-        frac = (md - (md // p) * p).astype(jnp.float32) / p
+        frac = (md - (md // p) * p).astype(FP) / p
     else:
         # exact arithmetic impossible in int32: re-approximate with
         # bounded denominators -- a constant ~1e-8-relative ratio
@@ -138,9 +140,9 @@ def resample_to(x, fs_in: float, fs_out: float, taps: int = 32,
     """Resample between two sample rates, using exact rational positions
     when both rates are integral (the usual audio case)."""
     if abs(fs_in - fs_out) < 1e-9:
-        return jnp.asarray(x, jnp.float32)
+        return jnp.asarray(x, FP)
     if float(fs_in).is_integer() and float(fs_out).is_integer():
-        return rresample(jnp.asarray(x, jnp.float32), int(fs_out),
+        return rresample(jnp.asarray(x, FP), int(fs_out),
                          int(fs_in), taps=taps, ny=ny)
-    return sincresample(jnp.asarray(x, jnp.float32), fs_out / fs_in,
+    return sincresample(jnp.asarray(x, FP), fs_out / fs_in,
                         taps=taps, ny=ny)

@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..fp import CP, FP
+
 
 def next_pow2(n: int) -> int:
     p = 1
@@ -23,9 +25,9 @@ def _chirp(idx: jnp.ndarray, f_step) -> jnp.ndarray:
     idx must be integer-valued and |idx|^2 < 2^24 so the square is exact in
     float32.
     """
-    ph = 0.5 * f_step * (idx.astype(jnp.float32) ** 2)
+    ph = 0.5 * f_step * (idx.astype(FP) ** 2)
     ph = ph - jnp.round(ph)
-    return jnp.exp(-2j * jnp.pi * ph.astype(jnp.float32))
+    return jnp.exp(-2j * jnp.pi * ph.astype(FP))
 
 
 def czt(x: jnp.ndarray, m: int, f_step) -> jnp.ndarray:
@@ -40,7 +42,7 @@ def czt(x: jnp.ndarray, m: int, f_step) -> jnp.ndarray:
     L = next_pow2(n + m - 1)
     nn = jnp.arange(n)
     kk = jnp.arange(L)
-    u = x.astype(jnp.complex64) * _chirp(nn, f_step)
+    u = x.astype(CP) * _chirp(nn, f_step)
     # v_j = w^{-j^2/2} arranged circularly so that (u * v)[k] gives the sum.
     j_idx = jnp.where(kk < m, kk, jnp.where(kk >= L - n + 1, kk - L, 0))
     v = jnp.conj(_chirp(j_idx, f_step))
@@ -113,7 +115,7 @@ def minphase_phase(logmag: jnp.ndarray) -> jnp.ndarray:
 
 def minphase_spectrum(logmag: jnp.ndarray) -> jnp.ndarray:
     """Complex minimum-phase half-spectrum exp(logmag + i*minphase)."""
-    return jnp.exp(logmag.astype(jnp.complex64) + 1j * minphase_phase(logmag))
+    return jnp.exp(logmag.astype(CP) + 1j * minphase_phase(logmag))
 
 
 def periodogram(frames: jnp.ndarray, window: jnp.ndarray, nfft: int) -> jnp.ndarray:
@@ -151,14 +153,14 @@ def instantaneous_frequency(x: jnp.ndarray, centers: jnp.ndarray,
     """
     H = int(halfwin_max)
     W = 2 * H + 1
-    n_off = jnp.arange(W, dtype=jnp.float32) - H
-    xp = jnp.pad(jnp.asarray(x, jnp.float32), (H, H + 1))
+    n_off = jnp.arange(W, dtype=FP) - H
+    xp = jnp.pad(jnp.asarray(x, FP), (H, H + 1))
     idx = centers[:, None] + jnp.arange(W)[None, :]
     frames = xp[idx]                                        # [N, W]
 
-    hw = jnp.clip(jnp.asarray(halfwidth, jnp.float32), 2.0, float(H))
+    hw = jnp.clip(jnp.asarray(halfwidth, FP), 2.0, float(H))
     r = n_off[None, :] / hw[:, None]
-    inside = (jnp.abs(r) <= 1.0).astype(jnp.float32)
+    inside = (jnp.abs(r) <= 1.0).astype(FP)
     h = (0.5 + 0.5 * jnp.cos(jnp.pi * r)) * inside
     hd = (-0.5 * jnp.pi / hw[:, None]) * jnp.sin(jnp.pi * r) * inside
 

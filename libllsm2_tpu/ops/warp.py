@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..fp import FP
+
 
 def warp_frequency(f, warp_const):
     """Linear frequency [Hz] -> warped coordinate."""
@@ -37,7 +39,7 @@ def warped_band_matrix(npsd: int, nbin: int, fs: float, warp_const: float):
     wmax = warp_frequency(fs / 2.0, warp_const)
     band = jnp.floor(warp_frequency(f, warp_const) / wmax * npsd)
     band = jnp.clip(band, 0, npsd - 1).astype(jnp.int32)
-    onehot = (band[None, :] == jnp.arange(npsd)[:, None]).astype(jnp.float32)
+    onehot = (band[None, :] == jnp.arange(npsd)[:, None]).astype(FP)
     counts = jnp.maximum(onehot.sum(axis=1, keepdims=True), 1.0)
     return onehot / counts
 
