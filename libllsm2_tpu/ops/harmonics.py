@@ -423,7 +423,7 @@ def refine_f0(
         N = centers.shape[0]
         fr = frame_hops(xd, N, nhop_d, hh)
 
-        def fundamental_phase_fr(coff, f0s, halfwidth_d):
+        def fundamental_probe_fr(coff, f0s, halfwidth_d):
             noff_f = jnp.arange(Wf, dtype=FP)[None, :] - coff
             w = window_centered(window, noff_f, halfwidth_d[:, None])
             xw = fr * w
@@ -431,23 +431,38 @@ def refine_f0(
                                                  (f0s / fs_d)[:, None])
             re = jnp.sum(jnp.cos(arg) * xw, axis=-1)
             im = jnp.sum(-jnp.sin(arg) * xw, axis=-1)
-            return jnp.arctan2(im, re)
+            return jnp.arctan2(im, re), re * re + im * im
 
         f0s = jnp.where(voiced, f0, 100.0)
+        p1 = jnp.zeros_like(f0s)
         for _ in range(iters):
             halfwidth_d = jnp.clip(rel_winsize * fs_d / (2.0 * f0s), 2.0,
                                    float(H_d))
-            ph_m = fundamental_phase_fr(C - delta_d, f0s, halfwidth_d)
-            ph_p = fundamental_phase_fr(C + delta_d, f0s, halfwidth_d)
+            ph_m, _ = fundamental_probe_fr(C - delta_d, f0s, halfwidth_d)
+            ph_p, p1 = fundamental_probe_fr(C + delta_d, f0s, halfwidth_d)
             expected = 2.0 * jnp.pi * f0s * dt_d
             err = ph_p - ph_m - expected
             err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
             f0_new = f0s + err / (2.0 * jnp.pi * dt_d)
             f0s = jnp.clip(f0_new, f0 * (1 - max_rel_dev) - 1.0,
                            f0 * (1 + max_rel_dev) + 1.0)
+        # fundamental-presence gate: the phase slope is meaningful only
+        # if harmonic 1 actually carries energy.  On a period-doubled
+        # source analyzed at its true (pattern) rate -- creak/diplophonia
+        # with zero alternation -- the k=1 bin holds only the skirt of
+        # the strong k=2 line, and its "slope" drags a correct supplied
+        # track off by up to max_rel_dev.  Measure |c2|^2 at 2*f0 (one
+        # extra probe) and keep the supplied track where |c1|^2 is
+        # buried.  Only applicable while 2*f0 sits inside the decimation
+        # passband; above it a2 is attenuated, so keep the refinement
+        # (the trap is a low-F0 phenomenon).
+        hw_g = jnp.clip(rel_winsize * fs_d / (2.0 * f0s), 2.0, float(H_d))
+        _, p2 = fundamental_probe_fr(C + delta_d, 2.0 * f0s, hw_g)
+        gate_ok = (p1 > 0.0625 * p2) | (2.0 * f0s >= pass_hz)
+        f0s = jnp.where(gate_ok, f0s, f0)
         return jnp.where(voiced, f0s, 0.0)
 
-    def fundamental_phase(cts, f0s, halfwidth):
+    def fundamental_probe(cts, f0s, halfwidth):
         if use_pallas:
             # the constant-f0 fundamental basis is a linear cycle ramp, so
             # the chirped projection kernel applies directly with K=1.
@@ -466,7 +481,8 @@ def refine_f0(
             re, im = harmonic_project_pallas(dc, xw, 1,
                                              lo=jnp.zeros_like(hw_int),
                                              hi=2 * hw_int + 1)
-            return jnp.arctan2(im[:, 0], re[:, 0])
+            re, im = re[:, 0], im[:, 0]
+            return jnp.arctan2(im, re), re * re + im * im
         idx = (cts + W)[:, None] + jnp.arange(W)[None, :]
         frames = xp[idx]
         w = window_centered(window, n_off[None, :], halfwidth[:, None])
@@ -475,19 +491,26 @@ def refine_f0(
         arg = (2.0 * jnp.pi) * ph
         re = jnp.sum(jnp.cos(arg) * xw, axis=-1)
         im = jnp.sum(-jnp.sin(arg) * xw, axis=-1)
-        return jnp.arctan2(im, re)
+        return jnp.arctan2(im, re), re * re + im * im
 
     f0s = jnp.where(voiced, f0, 100.0)
+    p1 = jnp.zeros_like(f0s)
     for _ in range(iters):
         halfwidth = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
-        ph_m = fundamental_phase(centers - delta, f0s, halfwidth)
-        ph_p = fundamental_phase(centers + delta, f0s, halfwidth)
+        ph_m, _ = fundamental_probe(centers - delta, f0s, halfwidth)
+        ph_p, p1 = fundamental_probe(centers + delta, f0s, halfwidth)
         expected = 2.0 * jnp.pi * f0s * dt
         err = ph_p - ph_m - expected
         err = jnp.arctan2(jnp.sin(err), jnp.cos(err))
         f0_new = f0s + err / (2.0 * jnp.pi * dt)
         f0s = jnp.clip(f0_new, f0 * (1 - max_rel_dev) - 1.0,
                        f0 * (1 + max_rel_dev) + 1.0)
+    # fundamental-presence gate (see the decimated fast path above):
+    # keep the supplied track where harmonic 1 is buried under
+    # harmonic 2 (period-doubled sources at the pattern rate).
+    hw_g = jnp.clip(rel_winsize * fs / (2.0 * f0s), 2.0, float(H))
+    _, p2 = fundamental_probe(centers + delta, 2.0 * f0s, hw_g)
+    f0s = jnp.where(p1 > 0.0625 * p2, f0s, f0)
     return jnp.where(voiced, f0s, 0.0)
 
 

@@ -449,3 +449,70 @@ def synth_consonant_cluster(duration=1.2, fs=16000.0, thop=0.005,
     if return_parts:
         return x.astype(np.float64), f0, x_harm.astype(np.float64)
     return x.astype(np.float64), f0
+
+
+def synth_creaky_utterance(duration=1.0, fs=16000.0, thop=0.005,
+                           pulse_rate=90.0, alt_amp=0.55, alt_period=0.04,
+                           rd=2.5,
+                           formants=((700, 80), (1220, 90), (2600, 120)),
+                           noise_level=0.01, seed=0):
+    """Creaky-voice / diplophonia fixture: LF glottal pulses with
+    ALTERNATING per-pulse amplitude (alt_amp) and period (+-alt_period)
+    through a formant filter -- a period-doubled source whose true
+    periodicity is pulse_rate/2.
+
+    Returns (x, f0_pattern): f0_pattern is the frame-rate F0 track at the
+    PATTERN rate (pulse_rate/2, exact: the +- period alternation cancels
+    over a pair), which is what the analysis should be given.  In the
+    harmonic model the even harmonics of the pattern rate carry the mean
+    pulse spectrum and the odd (sub)harmonics the alternation depth;
+    alt_amp=1, alt_period=0 degenerates to a plain periodic source with
+    zero odd-harmonic energy.  Stresses low-F0 window sizing (f0_floor)
+    and maxnhar coverage (at 45 Hz the default maxnhar=80 reaches only
+    3.6 kHz).  Reference: no analog in test/ (voice-quality stressor)."""
+    import jax.numpy as jnp
+
+    from scipy import signal as sps
+
+    from ..ops import lf
+
+    nhop = int(round(thop * fs))
+    nfrm = int(round(duration * fs)) // nhop
+    nx = nfrm * nhop
+    t = np.arange(nx) / fs
+
+    T0 = 1.0 / pulse_rate
+    n_pulse = int(np.ceil(duration * pulse_rate)) + 2
+    periods = T0 * (1.0 + alt_period * np.where(
+        np.arange(n_pulse) % 2 == 0, 1.0, -1.0))
+    onsets = 0.02 + np.concatenate([[0.0], np.cumsum(periods[:-1])])
+    amps = np.where(np.arange(n_pulse) % 2 == 0, 1.0, alt_amp)
+
+    idx = np.searchsorted(onsets, t, side="right") - 1
+    inside = (idx >= 0) & (idx < n_pulse)
+    idx_c = np.clip(idx, 0, n_pulse - 1)
+    phase = np.where(inside,
+                     (t - onsets[idx_c]) / periods[idx_c], 0.0)
+    phase = np.clip(phase, 0.0, 1.0 - 1e-6)
+    p = lf.lf_from_rd(float(rd))
+    u = np.asarray(lf.lf_flow_deriv(jnp.asarray(phase, np.float32), p),
+                   np.float64)
+    u = u * np.where(inside, amps[idx_c], 0.0)
+
+    x = u
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        x = sps.lfilter([1.0 - r], [1.0, -2 * r * np.cos(th), r * r], x)
+    x = np.diff(x, prepend=0.0)                      # lip radiation
+
+    if noise_level > 0:
+        rng = np.random.default_rng(seed)
+        n = rng.standard_normal(nx)
+        b, a = sps.butter(2, 2500 / (fs / 2), "highpass")
+        n = sps.lfilter(b, a, n)
+        x = x + noise_level * np.std(x) / max(np.std(n), 1e-9) * n
+    x = x / max(np.abs(x).max(), 1e-9)
+
+    f0_pattern = np.full(nfrm, pulse_rate / 2.0)
+    return x.astype(np.float64), f0_pattern
