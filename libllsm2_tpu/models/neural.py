@@ -104,6 +104,45 @@ def train_step(cfg: AEConfig, params, opt_state, batch, mask=None):
     return params, opt_state, loss
 
 
+def tp_param_specs(cfg: AEConfig):
+    """Megatron-style tensor-parallel PartitionSpecs for init_params'
+    pytree over a (batch, model) mesh (parallel.mesh.make_tp_mesh).
+
+    Column-parallel entry layers shard the hidden OUT dimension (their
+    bias shards with it); row-parallel residual/exit layers shard the
+    hidden IN dimension, producing partial sums that GSPMD all-reduces
+    over the model axis (their bias is replicated).  Activations between
+    them stay sharded on hidden; only the small latent/dims boundaries
+    are replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS as M
+    col = {"w": P(None, M), "b": P(M)}
+    row = {"w": P(M, None), "b": P()}
+    specs = {"enc_in": col, "enc_out": row,
+             "dec_in": col, "dec_out": row}
+    for i in range(cfg.depth):
+        # residual blocks are a single square matmul: row-parallel, so
+        # the partial-sum psum lands on the (replicated-on-hidden)
+        # residual stream that the next block's dot re-shards
+        specs[f"enc_res{i}"] = row
+        specs[f"dec_res{i}"] = row
+    return specs
+
+
+def shard_params_tp(cfg: AEConfig, params, mesh):
+    """Place the init_params dict on the mesh per tp_param_specs.  Shard
+    params BEFORE optimizer.init: optax state leaves are created with
+    zeros_like and inherit the parameter shardings, and train_step's jit
+    then propagates them (GSPMD inserts the model-axis collectives)."""
+    from jax.sharding import NamedSharding
+
+    specs = tp_param_specs(cfg)
+    return {name: {k: jax.device_put(a, NamedSharding(mesh, specs[name][k]))
+                   for k, a in layer.items()}
+            for name, layer in params.items()}
+
+
 class Normalizer:
     """Per-dimension standardization of coder vectors (host-side)."""
 

@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"
 FRAME_AXIS = "frame"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -34,6 +35,22 @@ def make_mesh(n_devices: Optional[int] = None,
     grid = np.array(devs[:n_devices]).reshape(
         n_devices // frame_parallel, frame_parallel)
     return Mesh(grid, (BATCH_AXIS, FRAME_AXIS))
+
+
+def make_tp_mesh(n_devices: Optional[int] = None,
+                 model_parallel: int = 2) -> Mesh:
+    """Mesh (batch, model) for tensor-parallel training of the neural
+    frame model (models.neural): data parallelism over the batch axis x
+    within-layer (Megatron-style) sharding of the hidden dimension over
+    the model axis.  XLA/GSPMD inserts the all-gathers/psums implied by
+    the parameter shardings (neural.tp_param_specs)."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    assert n_devices % model_parallel == 0
+    grid = np.array(devs[:n_devices]).reshape(
+        n_devices // model_parallel, model_parallel)
+    return Mesh(grid, (BATCH_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
