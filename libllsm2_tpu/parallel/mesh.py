@@ -18,6 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BATCH_AXIS = "batch"
 FRAME_AXIS = "frame"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -51,6 +53,26 @@ def make_tp_mesh(n_devices: Optional[int] = None,
     grid = np.array(devs[:n_devices]).reshape(
         n_devices // model_parallel, model_parallel)
     return Mesh(grid, (BATCH_AXIS, MODEL_AXIS))
+
+
+def make_pipe_mesh(n_stages: Optional[int] = None) -> Mesh:
+    """1-D ("pipe",) mesh for pipeline-parallel training
+    (parallel.pipeline): each device holds one contiguous stage of the
+    residual trunk; activations hop stages over ICI via ppermute."""
+    devs = jax.devices()
+    if n_stages is None:
+        n_stages = len(devs)
+    return Mesh(np.array(devs[:n_stages]), (PIPE_AXIS,))
+
+
+def make_expert_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D ("expert",) mesh for expert-parallel MoE training
+    (parallel.expert): tokens are data-sharded over the same axis the
+    experts are sharded over, and dispatch/return ride all_to_all."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (EXPERT_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
