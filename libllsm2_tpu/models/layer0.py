@@ -216,8 +216,10 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
         # D > 128 would need a hop under 4 samples.)
         from ..ops.pallas_osc import deconv_full_pallas
         C2 = harmonics.frame_hops(cyc, N, nhop, 1, mode="edge")
-        q_idx = (jnp.arange(nq) * stride + stride // 2)
-        ang = 2.0 * jnp.pi * C2[:, q_idx]
+        # basic strided slice, NOT C2[:, q_idx] fancy indexing: the array
+        # index lowers to an XLA gather (~25-100x slower than slices on
+        # TPU; CLAUDE.md gotchas)
+        ang = 2.0 * jnp.pi * C2[:, stride // 2::stride][:, :nq]
         c_re, c_im = deconv_full_pallas(ampl, phse, cyc[centers],
                                         halfwidth, jnp.cos(ang),
                                         jnp.sin(ang), D, nhop, stride)
@@ -247,8 +249,9 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
     # construction; without it the deconv left 3-7 dB on clean modulated
     # fixtures.
     C2 = harmonics.frame_hops(cyc, N, nhop, 1, mode="edge")  # [N, 2*nhop]
-    q_idx = (jnp.arange(nq) * stride + stride // 2)
-    eq = jnp.exp(2j * jnp.pi * C2[:, q_idx])                # [N, nq]
+    # strided basic slice (a fancy q_idx index would lower to a gather)
+    eq = jnp.exp(2j * jnp.pi
+                 * C2[:, stride // 2::stride][:, :nq])   # [N, nq]
 
     Pn = P / tot
     X_band = jnp.stack([

@@ -62,13 +62,35 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     p_max = int(n * conf.thop * conf.f0_ceil) + 2
     t_on, frame_of, valid = _pulse_onsets(chunk.f0, conf.thop, p_max)
 
-    f0_p = jnp.maximum(chunk.f0[frame_of], 1e-2)
-    period = 1.0 / f0_p                                        # [P] seconds
-    rd_p = chunk.rd[frame_of]
+    # Per-pulse parameters: LINEAR interpolation between frame centers at
+    # the pulse onset, matching the sinusoidal render's OLA crossfade of
+    # adjacent frames (a nearest-frame staircase measured ~5 dB worse on
+    # the re-analyzed harmonic-amplitude-track parity oracle,
+    # tests/test_pbp.py).  Falls back to the onset frame's value where
+    # either neighbor is unvoiced (lerping across a voicing boundary
+    # would drag F0/Rd toward garbage).
+    # sample point = pulse onset (a pulse-center sample point at
+    # t_on + T/2 measured WORSE: track SNR 19.0 vs 22.4)
+    fr = t_on / conf.thop
+    i0 = jnp.clip(jnp.floor(fr).astype(jnp.int32), 0, n - 2)
+    # clamp: when i0 clips at n-2 the raw weight exceeds 1 and would
+    # EXTRAPOLATE past the last frame
+    wln = jnp.clip(fr - i0.astype(FP), 0.0, 1.0)[:, None]
+    both_v = ((chunk.f0[i0] > 0) & (chunk.f0[i0 + 1] > 0))[:, None]
 
-    # complex VT spectrum per frame (computed once, gathered per pulse)
+    def lerp(v):
+        v2 = v.reshape(n, -1)
+        smooth = (1.0 - wln) * v2[i0] + wln * v2[i0 + 1]
+        return jnp.where(both_v, smooth, v2[frame_of]).reshape(
+            (t_on.shape[0],) + v.shape[1:])
+
+    f0_p = jnp.maximum(lerp(chunk.f0), 1e-2)
+    period = 1.0 / f0_p                                        # [P] seconds
+    rd_p = lerp(chunk.rd)
+
+    # complex VT spectrum per frame (computed once, lerped per pulse)
     vt_spec = spectral.minphase_spectrum(chunk.vtmagn)         # [N, nspec]
-    vt_p = vt_spec[frame_of]                                   # [P, nspec]
+    vt_p = lerp(vt_spec)                                       # [P, nspec]
 
     fbins = jnp.linspace(0.0, fs / 2.0, nspec)
     lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)

@@ -482,25 +482,36 @@ def _deconv_full_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     k +- 1 lane shifts, and converts back to (ampl, phse) -- nothing but
     the raw chunk fields and two tiny per-frame vectors ever reach HBM."""
     F, K = a_c.shape
+    FH = F + 2 * D
     kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
           ).astype(jnp.float32)
 
-    def track(a_ref, p_ref, c_ref):
-        # c' = a e^{j phi} e^{-2 pi j k cyc}, mod-1 phase argument
-        ph = p_ref[:] / TWO_PI - c_ref[:] * kh
-        ph = ph - jnp.round(ph)
-        ang = TWO_PI * ph
-        a = a_ref[:]
-        return a * jnp.cos(ang), a * jnp.sin(ang)
+    # ONE haloed copy of each input covering frames [-D, F+D): every
+    # band offset below reads rows of these instead of re-concatenating
+    # shifted prev/cur/next views per d (which cost 2*(2D+1) sublane
+    # relayouts of [F, K] arrays -- the kernel ran at ~2.5% of VPU peak
+    # with the shifts, not the math, dominating).
+    def halo(prev, cur, nxt):
+        return jnp.concatenate([prev[F - D:], cur[:], nxt[:D]], 0)
 
-    cre_p, cim_p = track(a_p, p_p, cy_p)
-    cre_c, cim_c = track(a_c, p_c, cy_c)
-    cre_n, cim_n = track(a_n, p_n, cy_n)
+    ah = halo(a_p, a_c, a_n)                                 # [FH, K]
+    ph_h = halo(p_p, p_c, p_n)
+    cy_h = halo(cy_p, cy_c, cy_n)
+    eq_h = halo(eq_p, eq_c, eq_n)                            # [FH, 2nq]
+
+    # phase-aligned complex tracks on the halo:
+    # c' = a e^{j phi} e^{-2 pi j k cyc}, mod-1 phase argument
+    ph = ph_h / TWO_PI - cy_h * kh
+    ph = ph - jnp.round(ph)
+    ang = TWO_PI * ph
+    vre_h = ah * jnp.cos(ang)                                # [FH, K]
+    vim_h = ah * jnp.sin(ang)
+    cre_c = vre_h[D:D + F]
+    cim_c = vim_h[D:D + F]
 
     # T/X bands for this block's frames: P[f, d, q] = w_i * w_ola at the
     # stride-quadrature points; X modulates by e^{2 pi j cyc(n)} whose
-    # quadrature field eq comes in per frame row (neighbor rows via the
-    # same three-block trick)
+    # quadrature field eq comes in per frame row (halo rows f + d)
     r = (-nhop + (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
                   .astype(jnp.float32) + 0.5) * stride)      # [1, nq]
     w_ola = 0.5 + 0.5 * jnp.cos((jnp.pi / nhop) * r)         # [1, nq]
@@ -514,15 +525,8 @@ def _deconv_full_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
         w = jnp.where((u >= 0.0) & (u <= 1.0),
                       0.5 - 0.5 * jnp.cos(TWO_PI * u), 0.0)
         P = w * w_ola                                        # [F, nq]
-        if d < 0:
-            er = jnp.concatenate([eq_p[F + d:, :nq], eq_c[:F + d, :nq]], 0)
-            ei = jnp.concatenate([eq_p[F + d:, nq:], eq_c[:F + d, nq:]], 0)
-        elif d > 0:
-            er = jnp.concatenate([eq_c[d:, :nq], eq_n[:d, :nq]], 0)
-            ei = jnp.concatenate([eq_c[d:, nq:], eq_n[:d, nq:]], 0)
-        else:
-            er = eq_c[:, :nq]
-            ei = eq_c[:, nq:]
+        er = eq_h[j:j + F, :nq]
+        ei = eq_h[j:j + F, nq:]
         tb = jnp.sum(P, axis=-1, keepdims=True)              # [F, 1]
         xr = jnp.sum(P * er, axis=-1, keepdims=True)
         xi = jnp.sum(P * ei, axis=-1, keepdims=True)
@@ -532,39 +536,38 @@ def _deconv_full_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
         xi_all.append(xi)
     inv = 1.0 / jnp.maximum(t_acc, 1e-9)                     # 1/wsum
 
-    # Accumulate the six d-sums FIRST and apply the k +- 1 lane shifts
-    # ONCE at the end: the band coefficients tb/xr/xi are per-frame
-    # scalars (broadcast along k), so they commute with the k-shift --
-    #   sum_d xr_d * up(v_d) = up(sum_d xr_d * v_d) .
-    # The naive form did 4 lane-shift relayouts of the [F, K] track per
-    # band offset (4*(2D+1) ~ 76 cross-lane relayouts on a sub-128-lane
-    # array); hoisting leaves 4 total plus ~40% fewer elementwise ops
-    # (deconv ran at 0.29 TF/s vs the projection kernel's 1.2 -- the
-    # relayouts, not the math, dominated).
-    tr = jnp.zeros_like(cre_c)
-    ti = jnp.zeros_like(cre_c)
-    uxr = jnp.zeros_like(cre_c)
-    uxi = jnp.zeros_like(cre_c)
-    vxr = jnp.zeros_like(cre_c)
-    vxi = jnp.zeros_like(cre_c)
-    for j, d in enumerate(range(-D, D + 1)):
-        if d < 0:
-            vre = jnp.concatenate([cre_p[F + d:], cre_c[:F + d]], 0)
-            vim = jnp.concatenate([cim_p[F + d:], cim_c[:F + d]], 0)
-        elif d > 0:
-            vre = jnp.concatenate([cre_c[d:], cre_n[:d]], 0)
-            vim = jnp.concatenate([cim_c[d:], cim_n[:d]], 0)
-        else:
-            vre, vim = cre_c, cim_c
-        tb = tb_all[j] * inv
-        xr = xr_all[j] * inv
-        xi = xi_all[j] * inv
-        tr = tr + tb * vre
-        ti = ti + tb * vim
-        uxr = uxr + xr * vre
-        uxi = uxi + xr * vim
-        vxr = vxr + xi * vre
-        vxi = vxi + xi * vim
+    # The banded matvec  out[f] = sum_d coeff[f, d] * v[f + d]  becomes
+    # SIX small MXU matmuls against banded [F, FH] coefficient matrices
+    # B[f, f + d] = coeff[f, d] built with iota masks -- no per-band
+    # frame shifts, no VPU accumulation loop.  (X v and conj(X) v share
+    # the same four real products, recombined below.)  The k +- 1 lane
+    # shifts stay hoisted to the end: the coefficients are per-frame
+    # scalars, so they commute with the shift.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (F, FH), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (F, FH), 1)
+    delta = cols - rows                                      # band index
+    zfh = jnp.zeros((F, FH), jnp.float32)
+    bt = zfh
+    bxr = zfh
+    bxi = zfh
+    for j in range(2 * D + 1):
+        sel = delta == j
+        bt = bt + jnp.where(sel, tb_all[j] * inv, 0.0)
+        bxr = bxr + jnp.where(sel, xr_all[j] * inv, 0.0)
+        bxi = bxi + jnp.where(sel, xi_all[j] * inv, 0.0)
+
+    def mm(bmat, v):
+        return jax.lax.dot_general(
+            bmat, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    tr = mm(bt, vre_h)
+    ti = mm(bt, vim_h)
+    uxr = mm(bxr, vre_h)
+    uxi = mm(bxr, vim_h)
+    vxr = mm(bxi, vre_h)
+    vxi = mm(bxi, vim_h)
     z = jnp.zeros((F, 1), jnp.float32)
 
     def up(a):

@@ -83,39 +83,38 @@ def _render_frames(conf: ChunkConf, ampl, phse, mask, dc_seg, psd, edc,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _render_pulses(conf: ChunkConf, vtmagn, rd, f0, frac_delays, valid):
-    """Render up to P glottal pulses for one hop (streaming PbP mode;
-    reference: llsmrt.c PbP -- SURVEY.md 3.4).  Returns [P, nfft]."""
+def _render_pulses(conf: ChunkConf, vtm0, vtm1, wlerp, rd, f0, frac,
+                   valid):
+    """Render P glottal pulses with PER-PULSE source/tract parameters
+    (streaming PbP mode; reference: llsmrt.c PbP -- SURVEY.md 3.4).
+
+    vtm0/vtm1 [P, nspec] are each pulse's bracketing frames' log VT
+    magnitudes; the COMPLEX minimum-phase spectra are lerped with wlerp
+    [P] -- the same per-pulse parameter interpolation as the offline
+    renderer (models.pbp), so stream == offline holds.  rd/f0/frac/valid
+    [P] (already lerped host-side).  Returns [P, nfft]."""
     from ..models import layer1 as l1m
     from ..ops import lf, spectral
 
     nfft = conf.nfft_spec
-    nspec = conf.nspec
     fs = conf.fs
-    fbins = jnp.linspace(0.0, fs / 2.0, nspec)
-    vt = spectral.minphase_spectrum(vtmagn)                  # [nspec]
+    fbins = jnp.linspace(0.0, fs / 2.0, conf.nspec)
+    w = wlerp[:, None]
+    vt = (1.0 - w) * spectral.minphase_spectrum(vtm0) \
+        + w * spectral.minphase_spectrum(vtm1)               # [P, nspec]
     lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)
            * conf.lip_radius / l1m.SPEED_OF_SOUND
            ) * jnp.exp(1j * jnp.pi / 2.0).astype(jnp.complex64)
-    period = 1.0 / jnp.maximum(f0, 1e-2)
+    period = 1.0 / jnp.maximum(f0, 1e-2)                     # [P]
     params = lf.lf_from_rd(rd)
-    src = lf.lf_spectrum(fbins * period, params)
-    src1 = lf.lf_spectrum(jnp.float32(1.0), params)
-    src = src / jnp.maximum(jnp.abs(src1), 1e-12)
+    src = lf.lf_spectrum(fbins[None, :] * period[:, None],
+                         jax.tree.map(lambda a: a[:, None], params))
+    src1 = lf.lf_spectrum(jnp.ones_like(period), params)
+    src = src / jnp.maximum(jnp.abs(src1)[:, None], 1e-12)
     delay = jnp.exp((-2j * jnp.pi) * fbins[None, :] / fs
-                    * frac_delays[:, None])                  # [P, nspec]
-    spec = (period / 2.0 * fs) * vt[None, :] * src[None, :] \
-        * lip[None, :] * delay
+                    * frac[:, None])                         # [P, nspec]
+    spec = (period[:, None] / 2.0 * fs) * vt * src * lip[None, :] * delay
     return jnp.fft.irfft(spec, n=nfft) * valid[:, None]
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _render_pulses_multi(conf: ChunkConf, vtmagn, rd, f0, frac, valid):
-    """Pulses with PER-PULSE source/tract parameters (pulses gathered
-    from several hops render in one dispatch): vtmagn [P, nspec],
-    rd/f0/frac/valid [P] -> [P, nfft]."""
-    return jax.vmap(lambda v, r, f, fr, va: _render_pulses(
-        conf, v, r, f, fr[None], va[None])[0])(vtmagn, rd, f0, frac, valid)
 
 
 class RTSynthesizer:
@@ -186,7 +185,7 @@ class RTSynthesizer:
             return d
         return dict(frame)
 
-    def _render(self, cur, f0_prev, f0_next):
+    def _render(self, cur, f0_prev, f0_next, nxt=None):
         f0c = cur["f0"] if cur["f0"] > 0 else 0.0
         dc = self._dc_segment(f0_prev if f0_prev > 0 else f0c,
                               f0c, f0_next if f0_next > 0 else f0c)
@@ -212,7 +211,7 @@ class RTSynthesizer:
         seg = np.asarray(seg)
         self.dispatches += 1
         if self.synth_mode == "pbp" and f0c > 0 and "vtmagn" in cur:
-            self._emit_pulses(cur, f0c)
+            self._emit_pulses(cur, nxt, f0c)
         pos = i * self.nhop - self.nhop
         if pos < 0:
             seg = seg[-pos:]
@@ -225,7 +224,22 @@ class RTSynthesizer:
                         * self.conf.thop) % 1.0
         self._i += 1
 
-    def _emit_pulses(self, cur, f0c: float) -> None:
+    def _pulse_params(self, cur, nxt, f0c, oi, fr):
+        """Per-pulse lerped parameters (mirrors models.pbp: lerp toward
+        the NEXT frame when both are voiced, else hold the onset
+        frame's)."""
+        w = (oi + fr) / self.nhop
+        use_next = (nxt is not None and nxt.get("f0", 0.0) > 0
+                    and "vtmagn" in nxt)
+        if not use_next:
+            return cur["vtmagn"], cur["vtmagn"], 0.0, \
+                float(cur.get("rd", 1.0)), f0c
+        rd_p = (1.0 - w) * float(cur.get("rd", 1.0)) \
+            + w * float(nxt.get("rd", 1.0))
+        f0_p = (1.0 - w) * f0c + w * float(nxt["f0"])
+        return cur["vtmagn"], nxt["vtmagn"], w, rd_p, f0_p
+
+    def _emit_pulses(self, cur, nxt, f0c: float) -> None:
         """PbP mode: place the glottal pulses whose onsets fall in the hop
         [i*nhop, (i+1)*nhop) and OLA them into the ring."""
         nhop = self.nhop
@@ -238,13 +252,21 @@ class RTSynthesizer:
         # fresh tunnel-slow compile)
         P = len(onsets)
         Pmax = int(self.conf.f0_ceil * nhop / self.conf.fs) + 2
+        vt0 = np.tile(np.asarray(cur["vtmagn"], np.float32), (Pmax, 1))
+        vt1 = vt0.copy()
+        wl = np.zeros((Pmax,), np.float32)
+        rdv = np.ones((Pmax,), np.float32)
+        f0v = np.full((Pmax,), 100.0, np.float32)
         fracs = np.zeros((Pmax,), np.float32)
         valid = np.zeros((Pmax,), np.float32)
-        fracs[:P] = [fr for _, fr in onsets]
-        valid[:P] = 1.0
+        for p, (oi, fr) in enumerate(onsets):
+            v0, v1, w, rd_p, f0_p = self._pulse_params(cur, nxt, f0c, oi,
+                                                       fr)
+            vt0[p], vt1[p], wl[p] = v0, v1, w
+            rdv[p], f0v[p], fracs[p], valid[p] = rd_p, f0_p, fr, 1.0
         pulses = np.asarray(_render_pulses(
-            self.conf, jnp.asarray(cur["vtmagn"], jnp.float32),
-            jnp.float32(cur.get("rd", 1.0)), jnp.float32(f0c),
+            self.conf, jnp.asarray(vt0), jnp.asarray(vt1),
+            jnp.asarray(wl), jnp.asarray(rdv), jnp.asarray(f0v),
             jnp.asarray(fracs), jnp.asarray(valid)))
         self.dispatches += 1
         for p, (oi, _) in enumerate(onsets):
@@ -267,7 +289,7 @@ class RTSynthesizer:
     def feed(self, frame) -> None:
         cur = self._frame_fields(frame)
         if self._pending is not None:
-            self._render(self._pending, self._prev_f0, cur["f0"])
+            self._render(self._pending, self._prev_f0, cur["f0"], nxt=cur)
             self._prev_f0 = self._pending["f0"]
         self._pending = cur
         self._fed += 1
@@ -342,9 +364,12 @@ class RTSynthesizer:
                 voiced[j] = 1.0 if f0c > 0 else 0.0
                 if (self.synth_mode == "pbp" and f0c > 0
                         and "vtmagn" in cur):
+                    nxt = queue[s + j + 1]
                     for oi, fr in self._pulse_onsets(f0c):
-                        pulse_jobs.append((i, oi, fr, cur["vtmagn"],
-                                           cur.get("rd", 1.0), f0c))
+                        v0, v1, w, rd_p, f0_p = self._pulse_params(
+                            cur, nxt, f0c, oi, fr)
+                        pulse_jobs.append((i, oi, fr, v0, v1, w, rd_p,
+                                           f0_p))
                 self._cycles = (self._cycles + 0.5 * (
                     f0c + (f0n if f0n > 0 else f0c)) * conf.thop) % 1.0
                 f0_prev = cur["f0"]
@@ -361,17 +386,21 @@ class RTSynthesizer:
                 P = len(pulse_jobs)
                 Pmax = self._pulse_budget()
                 assert P <= Pmax, (P, Pmax)
-                vt = np.zeros((Pmax, conf.nspec), np.float32)
+                vt0 = np.zeros((Pmax, conf.nspec), np.float32)
+                vt1 = np.zeros((Pmax, conf.nspec), np.float32)
+                wl = np.zeros((Pmax,), np.float32)
                 rdv = np.ones((Pmax,), np.float32)
                 f0v = np.full((Pmax,), 100.0, np.float32)
                 frv = np.zeros((Pmax,), np.float32)
                 val = np.zeros((Pmax,), np.float32)
                 for j, pj in enumerate(pulse_jobs):
-                    vt[j] = pj[3]
-                    rdv[j], f0v[j], frv[j], val[j] = pj[4], pj[5], pj[2], 1.0
-                pulses = np.asarray(_render_pulses_multi(
-                    conf, jnp.asarray(vt), jnp.asarray(rdv),
-                    jnp.asarray(f0v), jnp.asarray(frv), jnp.asarray(val)))
+                    _, _, frac, v0, v1, w, rd_p, f0_p = pj
+                    vt0[j], vt1[j], wl[j] = v0, v1, w
+                    rdv[j], f0v[j], frv[j], val[j] = rd_p, f0_p, frac, 1.0
+                pulses = np.asarray(_render_pulses(
+                    conf, jnp.asarray(vt0), jnp.asarray(vt1),
+                    jnp.asarray(wl), jnp.asarray(rdv), jnp.asarray(f0v),
+                    jnp.asarray(frv), jnp.asarray(val)))
                 self.dispatches += 1
             for j in range(M):
                 i = self._i
@@ -383,7 +412,7 @@ class RTSynthesizer:
                 self.ring.add(seg, pos)
                 self._i += 1
             if pulse_jobs:
-                for p, (fi, oi, _, _, _, _) in enumerate(pulse_jobs):
+                for p, (fi, oi, *_rest) in enumerate(pulse_jobs):
                     self.ring.add(pulses[p], fi * nhop + oi)
             # finalize only up to the last rendered frame's CENTER: its
             # trailing half-window still receives the next frame's overlap

@@ -244,7 +244,8 @@ class TestFeedMany:
 
 def test_stream_pbp_matches_offline():
     """Streaming PbP must converge to the offline PbP render (the PbP
-    analog of test_stream_matches_offline_harmonic; measured 47.5 dB)."""
+    analog of test_stream_matches_offline_harmonic; measured 44.6 dB
+    with the per-pulse parameter lerp)."""
     from libllsm2_tpu.models import layer1 as l1mod
     from libllsm2_tpu.utils import metrics
 
