@@ -85,3 +85,42 @@ def time_stretch(chunk: Chunk, ratio: float) -> Chunk:
                                       jnp.ones_like(chunk.vsphse), pos)),
         conf=chunk.conf)
     return phase_propagate(out, +1)
+
+
+def formant_shift(chunk: Chunk, ratio: float) -> Chunk:
+    """Scale all formant frequencies by `ratio` (> 1 raises them) by
+    warping the layer-1 vocal-tract envelope's frequency axis, then
+    regenerate the layer-0 harmonics.  F0 is untouched -- the classic
+    gender/size voice transformation the reference enables by letting the
+    user resample VTMAGN between tolayer1 and tolayer0 (layer1.c; the C
+    library ships no helper, the edit is user-side there too).
+
+    The warp is a static two-tap interpolation MATRIX applied with one
+    matmul -- per-row fancy indexing would lower to an XLA gather
+    (measured 25-100x slower than matmul/slice forms on TPU)."""
+    assert chunk.has_layer1, "formant_shift requires layer-1 parameters"
+    nspec = chunk.vtmagn.shape[-1]
+    pos = jnp.arange(nspec, dtype=FP) / ratio      # sample source bins
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nspec - 2)
+    t = jnp.clip(pos - i0.astype(FP), 0.0, 1.0)
+    W = (jax.nn.one_hot(i0, nspec, dtype=FP) * (1.0 - t)[:, None]
+         + jax.nn.one_hot(i0 + 1, nspec, dtype=FP) * t[:, None])
+    shifted = chunk.replace(vtmagn=chunk.vtmagn @ W.T)
+    return layer1.chunk_to_layer0(shifted)
+
+
+def breathiness(chunk: Chunk, gain_db: float,
+                rd_delta: float = 0.0) -> Chunk:
+    """Scale the noise component by `gain_db` (aspiration level) and
+    optionally relax the glottal tension (rd_delta > 0 is breathier);
+    harmonics are regenerated only when Rd changes.  PSD is stored
+    linear-power on the warped axis and edc/eenv_a are amplitude
+    envelopes, so power scales by g^2 and amplitudes by g."""
+    g = float(10.0 ** (gain_db / 20.0))
+    out = chunk.replace(psd=chunk.psd * g * g, edc=chunk.edc * g,
+                        eenv_a=chunk.eenv_a * g)
+    if rd_delta != 0.0:
+        assert out.has_layer1, "rd_delta requires layer-1 parameters"
+        out = out.replace(rd=jnp.clip(out.rd + rd_delta, 0.1, 2.7))
+        out = layer1.chunk_to_layer0(out)
+    return out
