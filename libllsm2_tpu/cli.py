@@ -4,6 +4,12 @@ demo binaries, SURVEY.md section 4):
   python -m libllsm2_tpu.cli roundtrip in.wav out.wav
   python -m libllsm2_tpu.cli pitch-shift in.wav out.wav --ratio 2.0
   python -m libllsm2_tpu.cli stretch in.wav out.wav --ratio 1.5
+  python -m libllsm2_tpu.cli formant-shift in.wav out.wav --ratio 1.2
+  python -m libllsm2_tpu.cli breathiness in.wav out.wav --gain-db 6
+  python -m libllsm2_tpu.cli vibrato in.wav out.wav --rate 5.5 --depth 0.35
+  python -m libllsm2_tpu.cli tremolo in.wav out.wav --rate 5.5 --depth-db 3
+  python -m libllsm2_tpu.cli morph a.wav b.wav out.wav --t 0.5
+  python -m libllsm2_tpu.cli concat a.wav b.wav out.wav --xf 8
   python -m libllsm2_tpu.cli pbp in.wav out.wav [--rd 1.8]
   python -m libllsm2_tpu.cli code in.wav out.npz / decode in.npz out.wav
   python -m libllsm2_tpu.cli track-f0 in.wav out.txt
@@ -56,13 +62,29 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="libllsm2_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ["roundtrip", "pitch-shift", "stretch", "pbp", "code",
-                 "decode", "track-f0"]:
+    two_input = {"morph", "concat"}
+    for name in ["roundtrip", "pitch-shift", "stretch", "formant-shift",
+                 "breathiness", "vibrato", "tremolo", "morph", "concat",
+                 "pbp", "code", "decode", "track-f0"]:
         p = sub.add_parser(name)
         p.add_argument("input")
+        if name in two_input:
+            p.add_argument("input2")
         p.add_argument("output")
         p.add_argument("--ratio", type=float, default=2.0)
         p.add_argument("--rd", type=float, default=None)
+        p.add_argument("--gain-db", type=float, default=6.0)
+        p.add_argument("--rd-delta", type=float, default=0.0)
+        p.add_argument("--rate", type=float, default=5.5,
+                       help="vibrato/tremolo modulation rate [Hz]")
+        p.add_argument("--depth", type=float, default=0.35,
+                       help="vibrato depth [semitones]")
+        p.add_argument("--depth-db", type=float, default=3.0,
+                       help="tremolo depth [dB]")
+        p.add_argument("--t", type=float, default=0.5,
+                       help="morph weight: 0 = first voice, 1 = second")
+        p.add_argument("--xf", type=int, default=8,
+                       help="concat crossfade length [frames]")
         p.add_argument("--fs-out", type=float, default=None)
         p.add_argument("--seed", type=int, default=0x5eed)
         p.add_argument("--denoise", type=float, default=0.0, metavar="HZ",
@@ -103,6 +125,30 @@ def main(argv=None):
         out = layer0.synthesize(sopt, edits.pitch_shift(l1, args.ratio))
     elif args.cmd == "stretch":
         out = layer0.synthesize(sopt, edits.time_stretch(chunk, args.ratio))
+    elif args.cmd == "formant-shift":
+        l1 = layer1.chunk_to_layer1(chunk)
+        out = layer0.synthesize(sopt, edits.formant_shift(l1, args.ratio))
+    elif args.cmd == "breathiness":
+        c = chunk
+        if args.rd_delta != 0.0:
+            c = layer1.chunk_to_layer1(c)
+        out = layer0.synthesize(
+            sopt, edits.breathiness(c, args.gain_db, args.rd_delta))
+    elif args.cmd == "vibrato":
+        l1 = layer1.chunk_to_layer1(chunk)
+        out = layer0.synthesize(
+            sopt, edits.vibrato(l1, args.rate, args.depth))
+    elif args.cmd == "tremolo":
+        out = layer0.synthesize(
+            sopt, edits.tremolo(chunk, args.rate, args.depth_db))
+    elif args.cmd == "morph":
+        _, _, chunk2 = _analyze_file(args.input2, args)
+        la = layer1.chunk_to_layer1(chunk)
+        lb = layer1.chunk_to_layer1(chunk2)
+        out = layer0.synthesize(sopt, edits.morph(la, lb, args.t))
+    elif args.cmd == "concat":
+        _, _, chunk2 = _analyze_file(args.input2, args)
+        out = layer0.synthesize(sopt, edits.concat(chunk, chunk2, args.xf))
     elif args.cmd == "pbp":
         l1 = layer1.chunk_to_layer1(chunk)
         if args.rd is not None:
