@@ -65,6 +65,31 @@ def main(duration=2.0):
     chunk2 = layer0.analyze(opt, x, f0_est)
     audio.wavwrite(f"{outdir}/07_selfcontained_trackedF0.wav",
                    np.asarray(layer0.synthesize(sopt, chunk2).y), fs)
+
+    y = np.asarray(layer0.synthesize(
+        sopt, edits.vibrato(l1, rate_hz=5.5, depth_semitones=0.5)).y)
+    audio.wavwrite(f"{outdir}/08_vibrato.wav", y, fs)
+    y = np.asarray(layer0.synthesize(
+        sopt, edits.tremolo(chunk, rate_hz=5.5, depth_db=4.0)).y)
+    audio.wavwrite(f"{outdir}/09_tremolo.wav", y, fs)
+    y = np.asarray(layer0.synthesize(
+        sopt, edits.formant_shift(l1, 1.25)).y)
+    audio.wavwrite(f"{outdir}/10_formant_x1.25.wav", y, fs)
+    y = np.asarray(layer0.synthesize(
+        sopt, edits.breathiness(l1, 8.0, rd_delta=0.6)).y)
+    audio.wavwrite(f"{outdir}/11_breathy.wav", y, fs)
+
+    # a second voice for morph/concat demos
+    f0b = testsig.make_f0_track(l1.nfrm, opt.conf.thop, f0_base=210.0)
+    xb, _ = testsig.synth_lf_speech(
+        f0b, formants=((500, 70), (1500, 100), (2400, 150)),
+        noise_level=0.02)
+    lb = layer1.chunk_to_layer1(layer0.analyze(opt, np.asarray(xb), f0b))
+    t = np.linspace(0.0, 1.0, l1.nfrm).astype(np.float32)
+    y = np.asarray(layer0.synthesize(sopt, edits.morph(l1, lb, t)).y)
+    audio.wavwrite(f"{outdir}/12_morph_sweep.wav", y, fs)
+    y = np.asarray(layer0.synthesize(sopt, edits.concat(chunk, lb, 8)).y)
+    audio.wavwrite(f"{outdir}/13_concat.wav", y, fs)
     print(f"demos written to {outdir}")
 
 

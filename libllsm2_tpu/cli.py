@@ -8,6 +8,7 @@ demo binaries, SURVEY.md section 4):
   python -m libllsm2_tpu.cli breathiness in.wav out.wav --gain-db 6
   python -m libllsm2_tpu.cli vibrato in.wav out.wav --rate 5.5 --depth 0.35
   python -m libllsm2_tpu.cli tremolo in.wav out.wav --rate 5.5 --depth-db 3
+  python -m libllsm2_tpu.cli creak in.wav out.wav --creak-depth 0.5
   python -m libllsm2_tpu.cli morph a.wav b.wav out.wav --t 0.5
   python -m libllsm2_tpu.cli concat a.wav b.wav out.wav --xf 8
   python -m libllsm2_tpu.cli pbp in.wav out.wav [--rd 1.8]
@@ -64,8 +65,8 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     two_input = {"morph", "concat"}
     for name in ["roundtrip", "pitch-shift", "stretch", "formant-shift",
-                 "breathiness", "vibrato", "tremolo", "morph", "concat",
-                 "pbp", "code", "decode", "track-f0"]:
+                 "breathiness", "vibrato", "tremolo", "creak", "morph",
+                 "concat", "pbp", "code", "decode", "track-f0"]:
         p = sub.add_parser(name)
         p.add_argument("input")
         if name in two_input:
@@ -85,6 +86,10 @@ def main(argv=None):
                        help="morph weight: 0 = first voice, 1 = second")
         p.add_argument("--xf", type=int, default=8,
                        help="concat crossfade length [frames]")
+        p.add_argument("--creak-depth", type=float, default=0.5,
+                       help="creak subharmonic depth (0..1)")
+        p.add_argument("--subdiv", type=int, default=2,
+                       help="creak period multiplier")
         p.add_argument("--fs-out", type=float, default=None)
         p.add_argument("--seed", type=int, default=0x5eed)
         p.add_argument("--denoise", type=float, default=0.0, metavar="HZ",
@@ -141,6 +146,10 @@ def main(argv=None):
     elif args.cmd == "tremolo":
         out = layer0.synthesize(
             sopt, edits.tremolo(chunk, args.rate, args.depth_db))
+    elif args.cmd == "creak":
+        l1 = layer1.chunk_to_layer1(chunk)
+        out = layer0.synthesize(
+            sopt, edits.creak(l1, args.creak_depth, args.subdiv))
     elif args.cmd == "morph":
         _, _, chunk2 = _analyze_file(args.input2, args)
         la = layer1.chunk_to_layer1(chunk)

@@ -212,6 +212,25 @@ def breathiness(chunk: Chunk, gain_db: float,
     return out
 
 
+def creak(chunk: Chunk, depth: float = 0.5, subdiv: int = 2) -> Chunk:
+    """Induce creaky voice / vocal fry: re-render the utterance at
+    f0/subdiv with the in-between (sub)harmonics scaled by `depth`
+    relative to the vocal-tract envelope.  This is the harmonic-domain
+    signature of a period-`subdiv`d pulse train with alternating pulse
+    amplitudes (see utils.testsig.synth_creaky_utterance: even pattern
+    harmonics carry the mean pulse spectrum, odd ones the alternation)
+    -- depth 0 is the original voice at a nominal f0/subdiv analysis,
+    depth 1 full diplophonia.  Requires layer-1 parameters.  Note the
+    harmonic grid halves its bandwidth coverage: maxnhar slots now span
+    maxnhar*f0/subdiv Hz."""
+    assert chunk.has_layer1, "creak requires layer-1 parameters"
+    out = layer1.chunk_to_layer0(
+        _repitch_vsphse(chunk, chunk.f0 / float(subdiv)))
+    k = jnp.arange(1, out.ampl.shape[-1] + 1)
+    scale = jnp.where((k % subdiv) != 0, depth, 1.0).astype(FP)
+    return out.replace(ampl=out.ampl * scale)
+
+
 # ---------------------------------------------------------------------------
 # Two-chunk edits: voice morphing and phase-coherent concatenation
 # ---------------------------------------------------------------------------

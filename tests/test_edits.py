@@ -287,6 +287,35 @@ def test_excerpt_render_matches_segment():
     assert snr >= 40.0, snr
 
 
+def test_creak_subharmonic_structure(const_l1):
+    """creak(depth) must put `depth`-scaled subharmonics between the
+    original harmonics: odd/even harmonic power ratio at the halved rate
+    ~ depth^2, ~0 at depth 0, monotone in depth."""
+    x, l1 = const_l1
+
+    def oe(y, f0_hz, fs=16000.0, kmax=40):
+        n = len(y)
+        y = y[n // 5: -n // 5]
+        t = np.arange(len(y)) / fs
+        comb = lambda ks: sum(
+            abs(np.dot(y, np.exp(-2j * np.pi * k * f0_hz * t)) / len(t)) ** 2
+            for k in ks)
+        return comb(range(1, kmax, 2)) / comb(range(2, kmax, 2))
+
+    sopt = create_soptions()
+    ratios = {}
+    for depth in (0.0, 0.25, 0.5):
+        cr = edits.creak(l1, depth=depth)
+        np.testing.assert_allclose(np.asarray(cr.f0),
+                                   np.asarray(l1.f0) / 2.0, atol=1e-3)
+        y = np.asarray(layer0.synthesize(sopt, cr).y_sin)
+        assert np.all(np.isfinite(y))
+        ratios[depth] = oe(y, 70.0)
+    assert ratios[0.0] < 0.02, ratios
+    assert 0.08 < ratios[0.5] < 0.6, ratios
+    assert ratios[0.25] < 0.5 * ratios[0.5], ratios
+
+
 def test_time_stretch_keeps_pbp_coherent(const_l1):
     """time_stretch re-propagates vsphse too, so a PbP render of the
     stretched chunk stays periodic."""
