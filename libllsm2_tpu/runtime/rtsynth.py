@@ -148,13 +148,19 @@ class RTSynthesizer:
         self._i = 0               # index of the next frame to render
         self._cycles = 0.0        # fundamental cycles at current center (f64)
         self._fed = 0
+        self._noise_memo = None
         self.dispatches = 0       # device render calls (observability)
 
     # -- helpers ---------------------------------------------------------
     def _noise_block(self, j: int) -> np.ndarray:
+        if self._noise_memo is not None and self._noise_memo[0] == j:
+            return self._noise_memo[1]
         rng = np.random.default_rng([int(self.sopt.noise_seed), max(j, 0)])
         b = rng.standard_normal(self.nhop).astype(np.float32)
-        return b if j >= 0 else np.zeros_like(b)
+        if j < 0:
+            b = np.zeros_like(b)
+        self._noise_memo = (j, b)   # frame i+1 re-reads block i
+        return b
 
     def _dc_segment(self, f0_prev, f0_cur, f0_next):
         """Cycle offsets over [-nhop, nhop) with the offline pipeline's
@@ -171,6 +177,32 @@ class RTSynthesizer:
         back = -np.cumsum(f_t[nhop - 1::-1]) / fs
         dc[:nhop] = back[::-1]
         return (dc % 1.0).astype(np.float32)
+
+    @staticmethod
+    def chunk_frames_np(chunk: Chunk):
+        """Split a Chunk into per-frame field dicts with ONE bulk
+        host transfer (per-frame Chunk.frame(i) slicing costs ~0.5 ms of
+        jax dispatch per frame -- measured dominant in serving feeds)."""
+        f0 = np.asarray(chunk.f0)
+        cols = dict(ampl=np.asarray(chunk.ampl),
+                    phse=np.asarray(chunk.phse),
+                    mask=np.asarray(chunk.hm_mask),
+                    psd=np.asarray(chunk.psd),
+                    edc=np.asarray(chunk.edc),
+                    eenv_a=np.asarray(chunk.eenv_a),
+                    eenv_p=np.asarray(chunk.eenv_p))
+        if chunk.has_layer1:
+            rd = np.asarray(chunk.rd)
+            vt = np.asarray(chunk.vtmagn)
+        out = []
+        for i in range(chunk.nfrm):
+            d = {k: v[i] for k, v in cols.items()}
+            d["f0"] = float(f0[i])
+            if chunk.has_layer1:
+                d["rd"] = float(rd[i])
+                d["vtmagn"] = vt[i]
+            out.append(d)
+        return out
 
     def _frame_fields(self, frame):
         if isinstance(frame, Chunk):
@@ -284,6 +316,7 @@ class RTSynthesizer:
         self._cycles = 0.0
         self._pulse_cycles = 0.0
         self._fed = 0
+        self._noise_memo = None
         self.dispatches = 0
 
     def feed(self, frame) -> None:
@@ -305,8 +338,9 @@ class RTSynthesizer:
         ~1 dispatch per feed_block frames (+1 per block in PbP mode).
         """
         if isinstance(frames, Chunk):
-            frames = [frames.frame(i) for i in range(frames.nfrm)]
-        queue = [self._frame_fields(f) for f in frames]
+            queue = self.chunk_frames_np(frames)
+        else:
+            queue = [self._frame_fields(f) for f in frames]
         self._fed += len(queue)
         if self._pending is not None:
             queue.insert(0, self._pending)
@@ -317,107 +351,134 @@ class RTSynthesizer:
         self._prev_f0 = queue[-2]["f0"]
         self._pending = queue[-1]
 
+    # input-array key order for _render_frames (shared with rtserve)
+    _FIELDS = ("ampl", "phse", "mask", "dc", "psd", "edc", "ea", "ep",
+               "noise", "voiced")
+
+    def _assemble_group(self, grp, f0_prev):
+        """Assemble device inputs for one render group.
+
+        grp: M+1 frame dicts -- grp[:-1] are rendered, grp[-1] is the
+        lookahead (linear-F0 target; not rendered here).  Arrays are
+        zero-padded to the static feed_block size.  Advances the
+        phase-propagation cycle accumulator by M hops (ring/_i are NOT
+        touched -- see _commit_group).  Returns (inputs dict, M,
+        pulse_jobs); pulse_jobs entries are
+        (abs_frame, onset, frac, vt0, vt1, wlerp, rd, f0)."""
+        conf = self.conf
+        nhop = self.nhop
+        MB = self.feed_block
+        K = conf.maxnhar
+        kh = np.arange(1, K + 1)
+        M = len(grp) - 1
+        assert 1 <= M <= MB
+        ins = dict(
+            ampl=np.zeros((MB, K), np.float32),
+            phse=np.zeros((MB, K), np.float32),
+            mask=np.zeros((MB, K), np.float32),
+            dc=np.zeros((MB, 2 * nhop), np.float32),
+            psd=np.zeros((MB, conf.npsd), np.float32),
+            edc=np.zeros((MB, conf.nchannel), np.float32),
+            ea=np.zeros((MB, conf.nchannel, conf.maxnhar_e), np.float32),
+            ep=np.zeros((MB, conf.nchannel, conf.maxnhar_e), np.float32),
+            noise=np.zeros((MB, 2 * nhop), np.float32),
+            voiced=np.zeros((MB,), np.float32))
+        pulse_jobs = []
+        for j, cur in enumerate(grp[:-1]):
+            f0c = cur["f0"] if cur["f0"] > 0 else 0.0
+            f0n = grp[j + 1]["f0"]
+            ins["dc"][j] = self._dc_segment(
+                f0_prev if f0_prev > 0 else f0c, f0c,
+                f0n if f0n > 0 else f0c)
+            i = self._i + j
+            ins["noise"][j] = np.concatenate([self._noise_block(i - 1),
+                                              self._noise_block(i)])
+            ph = np.asarray(cur["phse"], np.float32)
+            if self.phase_mode == "propagate" and f0c > 0:
+                ph = ph + (2.0 * np.pi) * ((kh * self._cycles) % 1.0)
+            a = np.asarray(cur["ampl"], np.float32)
+            if self.synth_mode == "pbp":
+                a = np.zeros_like(a)
+            ins["ampl"][j], ins["phse"][j] = a, ph
+            ins["mask"][j] = np.asarray(cur["mask"], np.float32)
+            ins["psd"][j] = np.asarray(cur["psd"], np.float32)
+            ins["edc"][j] = np.asarray(cur["edc"], np.float32)
+            ins["ea"][j] = np.asarray(cur["eenv_a"], np.float32)
+            ins["ep"][j] = np.asarray(cur["eenv_p"], np.float32)
+            ins["voiced"][j] = 1.0 if f0c > 0 else 0.0
+            if (self.synth_mode == "pbp" and f0c > 0
+                    and "vtmagn" in cur):
+                nxt = grp[j + 1]
+                for oi, fr in self._pulse_onsets(f0c):
+                    v0, v1, w, rd_p, f0_p = self._pulse_params(
+                        cur, nxt, f0c, oi, fr)
+                    pulse_jobs.append((i, oi, fr, v0, v1, w, rd_p, f0_p))
+            self._cycles = (self._cycles + 0.5 * (
+                f0c + (f0n if f0n > 0 else f0c)) * conf.thop) % 1.0
+            f0_prev = cur["f0"]
+        return ins, M, pulse_jobs
+
+    @staticmethod
+    def _pack_pulse_jobs(conf: ChunkConf, pulse_jobs, budget: int):
+        """Pad pulse jobs to a STATIC budget (each distinct pulse count
+        would otherwise be a fresh tunnel-slow compile); returns the
+        _render_pulses argument arrays."""
+        P = len(pulse_jobs)
+        assert P <= budget, (P, budget)
+        vt0 = np.zeros((budget, conf.nspec), np.float32)
+        vt1 = np.zeros((budget, conf.nspec), np.float32)
+        wl = np.zeros((budget,), np.float32)
+        rdv = np.ones((budget,), np.float32)
+        f0v = np.full((budget,), 100.0, np.float32)
+        frv = np.zeros((budget,), np.float32)
+        val = np.zeros((budget,), np.float32)
+        for j, pj in enumerate(pulse_jobs):
+            _, _, frac, v0, v1, w, rd_p, f0_p = pj
+            vt0[j], vt1[j], wl[j] = v0, v1, w
+            rdv[j], f0v[j], frv[j], val[j] = rd_p, f0_p, frac, 1.0
+        return vt0, vt1, wl, rdv, f0v, frv, val
+
+    def _commit_group(self, segs, M: int, pulses, pulse_jobs) -> None:
+        """OLA M rendered segments (+ this group's pulse rows) into the
+        ring and finalize readable samples."""
+        nhop = self.nhop
+        for j in range(M):
+            i = self._i
+            pos = i * nhop - nhop
+            seg = segs[j]
+            if pos < 0:
+                seg = seg[-pos:]
+                pos = 0
+            self.ring.add(seg, pos)
+            self._i += 1
+        for p, (fi, oi, *_rest) in enumerate(pulse_jobs):
+            self.ring.add(pulses[p], fi * nhop + oi)
+        # finalize only up to the last rendered frame's CENTER: its
+        # trailing half-window still receives the next frame's overlap
+        # (matches the per-frame path's advance(i*nhop))
+        self.ring.advance((self._i - 1) * nhop)
+
     def _render_block(self, queue) -> None:
         """Render queue[0..-2] (queue[-1] is the lookahead) in chunks of
         feed_block frames per dispatch."""
         conf = self.conf
-        nhop = self.nhop
         MB = self.feed_block
         m = len(queue) - 1
-        K = conf.maxnhar
-        kh = np.arange(1, K + 1)
         for s in range(0, m, MB):
-            grp = queue[s:min(s + MB, m)]   # queue[m] is the lookahead
-            M = len(grp)
-            ampl = np.zeros((MB, K), np.float32)
-            phse = np.zeros((MB, K), np.float32)
-            mask = np.zeros((MB, K), np.float32)
-            dc = np.zeros((MB, 2 * nhop), np.float32)
-            psd = np.zeros((MB, conf.npsd), np.float32)
-            edc = np.zeros((MB, conf.nchannel), np.float32)
-            ea = np.zeros((MB, conf.nchannel, conf.maxnhar_e), np.float32)
-            ep = np.zeros((MB, conf.nchannel, conf.maxnhar_e), np.float32)
-            noise = np.zeros((MB, 2 * nhop), np.float32)
-            voiced = np.zeros((MB,), np.float32)
-            pulse_jobs = []   # (frame_i, onset_int, frac, vtmagn, rd, f0)
+            grp = queue[s:min(s + MB, m) + 1]
             f0_prev = self._prev_f0 if s == 0 else queue[s - 1]["f0"]
-            for j, cur in enumerate(grp):
-                f0c = cur["f0"] if cur["f0"] > 0 else 0.0
-                f0n = queue[s + j + 1]["f0"]
-                dc[j] = self._dc_segment(f0_prev if f0_prev > 0 else f0c,
-                                         f0c, f0n if f0n > 0 else f0c)
-                i = self._i + j
-                noise[j] = np.concatenate([self._noise_block(i - 1),
-                                           self._noise_block(i)])
-                ph = np.asarray(cur["phse"], np.float32)
-                if self.phase_mode == "propagate" and f0c > 0:
-                    ph = ph + (2.0 * np.pi) * ((kh * self._cycles) % 1.0)
-                a = np.asarray(cur["ampl"], np.float32)
-                if self.synth_mode == "pbp":
-                    a = np.zeros_like(a)
-                ampl[j], phse[j] = a, ph
-                mask[j] = np.asarray(cur["mask"], np.float32)
-                psd[j] = np.asarray(cur["psd"], np.float32)
-                edc[j] = np.asarray(cur["edc"], np.float32)
-                ea[j] = np.asarray(cur["eenv_a"], np.float32)
-                ep[j] = np.asarray(cur["eenv_p"], np.float32)
-                voiced[j] = 1.0 if f0c > 0 else 0.0
-                if (self.synth_mode == "pbp" and f0c > 0
-                        and "vtmagn" in cur):
-                    nxt = queue[s + j + 1]
-                    for oi, fr in self._pulse_onsets(f0c):
-                        v0, v1, w, rd_p, f0_p = self._pulse_params(
-                            cur, nxt, f0c, oi, fr)
-                        pulse_jobs.append((i, oi, fr, v0, v1, w, rd_p,
-                                           f0_p))
-                self._cycles = (self._cycles + 0.5 * (
-                    f0c + (f0n if f0n > 0 else f0c)) * conf.thop) % 1.0
-                f0_prev = cur["f0"]
+            ins, M, pulse_jobs = self._assemble_group(grp, f0_prev)
             segs = np.asarray(_render_frames(
-                conf, jnp.asarray(ampl), jnp.asarray(phse),
-                jnp.asarray(mask), jnp.asarray(dc), jnp.asarray(psd),
-                jnp.asarray(edc), jnp.asarray(ea), jnp.asarray(ep),
-                jnp.asarray(noise), jnp.asarray(voiced)))
+                conf, *(jnp.asarray(ins[k]) for k in self._FIELDS)))
             self.dispatches += 1
+            pulses = None
             if pulse_jobs:
-                # pad the pulse batch to a STATIC budget: the pulse count
-                # varies per block with F0, and every distinct shape
-                # would be a fresh (tunnel-slow) compile
-                P = len(pulse_jobs)
-                Pmax = self._pulse_budget()
-                assert P <= Pmax, (P, Pmax)
-                vt0 = np.zeros((Pmax, conf.nspec), np.float32)
-                vt1 = np.zeros((Pmax, conf.nspec), np.float32)
-                wl = np.zeros((Pmax,), np.float32)
-                rdv = np.ones((Pmax,), np.float32)
-                f0v = np.full((Pmax,), 100.0, np.float32)
-                frv = np.zeros((Pmax,), np.float32)
-                val = np.zeros((Pmax,), np.float32)
-                for j, pj in enumerate(pulse_jobs):
-                    _, _, frac, v0, v1, w, rd_p, f0_p = pj
-                    vt0[j], vt1[j], wl[j] = v0, v1, w
-                    rdv[j], f0v[j], frv[j], val[j] = rd_p, f0_p, frac, 1.0
+                args = self._pack_pulse_jobs(conf, pulse_jobs,
+                                             self._pulse_budget())
                 pulses = np.asarray(_render_pulses(
-                    conf, jnp.asarray(vt0), jnp.asarray(vt1),
-                    jnp.asarray(wl), jnp.asarray(rdv), jnp.asarray(f0v),
-                    jnp.asarray(frv), jnp.asarray(val)))
+                    conf, *(jnp.asarray(a) for a in args)))
                 self.dispatches += 1
-            for j in range(M):
-                i = self._i
-                pos = i * nhop - nhop
-                seg = segs[j]
-                if pos < 0:
-                    seg = seg[-pos:]
-                    pos = 0
-                self.ring.add(seg, pos)
-                self._i += 1
-            if pulse_jobs:
-                for p, (fi, oi, *_rest) in enumerate(pulse_jobs):
-                    self.ring.add(pulses[p], fi * nhop + oi)
-            # finalize only up to the last rendered frame's CENTER: its
-            # trailing half-window still receives the next frame's overlap
-            # (matches the per-frame path's advance(i*nhop))
-            self.ring.advance((self._i - 1) * nhop)
+            self._commit_group(segs, M, pulses, pulse_jobs)
 
     def _pulse_budget(self) -> int:
         """Static per-block pulse capacity: f0_ceil cycles over
