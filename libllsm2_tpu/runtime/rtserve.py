@@ -33,8 +33,10 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import ChunkConf, SynthesisOptions
 from ..container import Chunk
@@ -52,16 +54,32 @@ class StreamPool:
         single program.  Pools with mixed confs = multiple StreamPools.
       n_streams: pool width (static batch dimension).
       feed_block: hops rendered per stream per service tick.
+      mesh: optional jax.sharding.Mesh — shard the batched render over
+        its first axis (pure data parallelism across chips: each device
+        renders n_streams/ndev streams' rows; the host rings stay
+        per-stream).  Requires n_streams % mesh_size == 0 so every
+        device gets whole streams.
     """
 
     def __init__(self, sopt: SynthesisOptions, conf: ChunkConf,
                  n_streams: int, feed_block: int = 16,
                  capacity_frames: int = 256, phase_mode: str = "absolute",
-                 synth_mode: str = "harmonic"):
+                 synth_mode: str = "harmonic", mesh=None):
         self.conf = conf
         self.n_streams = int(n_streams)
         self.feed_block = int(feed_block)
         assert self.n_streams >= 1 and self.feed_block >= 1
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = int(np.prod(mesh.devices.shape))
+            assert self.n_streams % ndev == 0, (
+                f"n_streams={n_streams} must divide over {ndev} devices")
+            ax = mesh.axis_names[0]
+            self._row_sharding = NamedSharding(mesh, P(ax))
+            self._ndev = ndev
+        else:
+            self._row_sharding = None
+            self._ndev = 1
         self.streams = []
         for s in range(self.n_streams):
             so = dataclasses.replace(sopt,
@@ -95,6 +113,14 @@ class StreamPool:
         """Frames queued but not yet rendered for stream s."""
         rt = self.streams[s]
         return len(self._q[s]) + (1 if rt._pending is not None else 0)
+
+    def _put(self, a: np.ndarray):
+        """Host batch row-block -> device(s): row-sharded over the mesh
+        when one is set (GSPMD partitions the render along the batch
+        dim; no collectives — the render is per-row independent)."""
+        if self._row_sharding is None:
+            return jnp.asarray(a)
+        return jax.device_put(a, self._row_sharding)
 
     # -- the batched tick ---------------------------------------------------
     def _due(self, s: int) -> bool:
@@ -137,7 +163,7 @@ class StreamPool:
             for k in RTSynthesizer._FIELDS:
                 batch[k][row * MB:(row + 1) * MB] = ins[k]
         segs = np.asarray(_render_frames(
-            conf, *(jnp.asarray(batch[k]) for k in RTSynthesizer._FIELDS)))
+            conf, *(self._put(batch[k]) for k in RTSynthesizer._FIELDS)))
         self.dispatches += 1
 
         # one shared pulse dispatch (PbP streams), static pooled budget
@@ -149,9 +175,10 @@ class StreamPool:
         pulses = None
         if all_jobs:
             budget = S * self.streams[0]._pulse_budget()
+            budget = -(-budget // self._ndev) * self._ndev
             args = RTSynthesizer._pack_pulse_jobs(conf, all_jobs, budget)
             pulses = np.asarray(_render_pulses(
-                conf, *(jnp.asarray(a) for a in args)))
+                conf, *(self._put(a) for a in args)))
             self.dispatches += 1
 
         off = 0

@@ -122,6 +122,41 @@ def test_stream_recycling(voices):
     np.testing.assert_array_equal(got2[1], _solo(voices[0], 1))
 
 
+def test_pool_sharded_over_mesh_matches_solo(voices):
+    """Multi-chip serving: the batched render row-sharded over an
+    8-device mesh produces the same audio as the unsharded pool (and the
+    solo path).  Pure data parallelism -- no collectives; each device
+    renders its streams' rows."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("serve",))
+    pool = StreamPool(SOPT, OPT.conf, n_streams=8, feed_block=8,
+                      mesh=mesh)
+    got = _drain_pool(pool, voices + voices[:1])  # 4 active, 4 idle
+    for s in range(3):
+        np.testing.assert_array_equal(got[s], _solo(voices[s], s))
+    np.testing.assert_array_equal(got[3], _solo(voices[0], 3))
+    with pytest.raises(AssertionError):
+        StreamPool(SOPT, OPT.conf, n_streams=6, mesh=mesh)
+
+
+def test_pool_sharded_pbp_matches_solo(voices):
+    """PbP pulses also render correctly under the mesh (the pooled pulse
+    budget rounds up to a device multiple)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("serve",))
+    c0 = layer1.chunk_to_layer1(voices[0])
+    pool = StreamPool(SOPT, OPT.conf, n_streams=4, feed_block=16,
+                      synth_mode="pbp", mesh=mesh)
+    got = _drain_pool(pool, [c0])
+    ref = _solo(c0, 0, synth_mode="pbp")
+    np.testing.assert_allclose(got[0], ref, atol=1e-5)
+    assert float(np.std(got[0])) > 1e-3
+
+
 def test_idle_streams_cost_nothing(voices):
     """A pool wider than its load still renders correct audio for the
     active streams (idle rows are zero-masked)."""
