@@ -384,23 +384,25 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     if use_pallas:
         # fully fused two-pass form (ops.pallas_osc): pass A reads the
         # chunk fields ONCE and emits the probe power / slow-track power
-        # / guard for the host-side floor statistics; pass B recomputes
-        # the split in-kernel and applies the gate.  The jnp formulation
-        # below materializes a full [N, K] array per FIR tap and
-        # intermediate -- ~13 ms/step at batch 128 on v5e.
+        # / guard for the host-side floor statistics PLUS the aligned
+        # and slow complex tracks; pass B reloads those tracks (instead
+        # of redoing the align transcendentals + frame-axis FIR -- the
+        # recompute was ~half of pass B's VPU work) and applies the
+        # weighted fit + gate.  The jnp formulation below materializes a
+        # full [N, K] array per FIR tap and intermediate -- ~13 ms/step
+        # at batch 128 on v5e.
         from ..ops.pallas_osc import (denoise_apply_pallas,
                                       denoise_stats_pallas)
         cyc_c = cyc[centers]
-        pp, cs2, r2, guard_v = denoise_stats_pallas(
-            ampl, phse, cyc_c, m, voiced[:, None],
-            tuple(w_np), tuple(wp_np))
+        (pp, cs2, r2, guard_v, cre, cim, csr,
+         csi) = denoise_stats_pallas(ampl, phse, cyc_c, m,
+                                     voiced[:, None],
+                                     tuple(w_np), tuple(wp_np))
         ok = guard_v[:, None] & (m > 0)
         v, wmul = _denoise_floor_stats(pp, cs2 * m, r2, ampl * ampl * m,
                                        ok)
-        re, im = denoise_apply_pallas(ampl, phse, cyc_c, m,
-                                      voiced[:, None], v, wmul,
-                                      tuple(w_np), tuple(wp_np),
-                                      float(strength))
+        re, im = denoise_apply_pallas(cre, cim, csr, csi, cyc_c, m,
+                                      guard_v, v, wmul, float(strength))
         return (jnp.sqrt(re * re + im * im) * mask,
                 jnp.arctan2(im, re) * mask)
 

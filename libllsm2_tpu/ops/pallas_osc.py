@@ -841,11 +841,11 @@ def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
 
 def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                   m_p, m_c, m_n, vo_p, vo_c, vo_n, *, taps1, taps2,
-                  h_ext, F, K, wmul=None):
-    """Shared body of the fused track-denoiser kernels: phase-aligned
+                  h_ext, F, K):
+    """Body of the fused track-denoiser stats kernel: phase-aligned
     complex track c, frame-axis FIR slow part c_s, per-frame coherent
     across-k fit, incoherent residual r_inc and its high-band probe --
-    all recomputed from the raw (ampl, phse, cyc_c, mask, voiced) blocks
+    all computed from the raw (ampl, phse, cyc_c, mask, voiced) blocks
     with a 3-view halo, for rows [-h_ext, F+h_ext) of the center block.
     Returns (cre, cim, csr, csi, rir, rii, prr, pri, guard) as [F+2*h_ext,
     K]-shaped values (guard [rows, 1])."""
@@ -901,12 +901,8 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     rr = cre - csr
     ri = cim - csi
 
-    # coherent across-k fit r ~ (m0 + m1*k) * c_s (per row); wmul [1, K]
-    # (optional) downweights noise-dominated tracks so their residuals
-    # cannot pollute the fit (see layer0._track_denoise)
+    # coherent across-k fit r ~ (m0 + m1*k) * c_s (per row)
     p = (csr * csr + csi * csi) * m
-    if wmul is not None:
-        p = p * wmul
     crr = (csr * rr + csi * ri) * m       # Re(conj(c_s) r)
     cri = (csr * ri - csi * rr) * m       # Im(conj(c_s) r)
     a00 = jnp.sum(p, axis=1, keepdims=True)
@@ -933,20 +929,22 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
 
 def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                           m_p, m_c, m_n, vo_p, vo_c, vo_n,
-                          pp_ref, cs2_ref, r2_ref, gd_ref,
-                          *, taps1, taps2, K):
-    """Pass A: probe power |hp(r_inc)|^2, slow-track power |c_s|^2, raw
-    fast power |r|^2 and guard for the host-side floor / engagement /
-    fit-weight statistics."""
+                          pp_ref, gd_ref, cre_ref, cim_ref, csr_ref,
+                          csi_ref, *, taps1, taps2, K):
+    """Pass A: probe power |hp(r_inc)|^2 and guard for the host-side
+    floor / engagement / fit-weight statistics, PLUS the aligned complex
+    track (cre, cim) and its FIR slow part (csr, csi) so pass B can
+    reload them instead of redoing the align transcendentals and the
+    frame-axis FIR (the recompute cost ~half of pass B; the extra HBM
+    round trip of 4 [N, K] f32 arrays is ~10x cheaper on v5e).
+    |c_s|^2 and |r|^2 for the host statistics are derived outside the
+    kernel from the emitted tracks (XLA fuses them into the stats)."""
     F = a_c.shape[0]
     h2 = len(taps2) // 2
     (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
      m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                         m_p, m_c, m_n, vo_p, vo_c, vo_n,
                         taps1=taps1, taps2=taps2, h_ext=h2, F=F, K=K)
-    rr0 = cre - csr
-    ri0 = cim - csi
-    r2_ref[:] = rr0[h2:h2 + F] ** 2 + ri0[h2:h2 + F] ** 2
     # rows here span [-h2, F+h2); center block rows = [h2, h2+F)
     acc_r = None
     acc_i = None
@@ -958,24 +956,56 @@ def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     prr = rir[h2:h2 + F] - acc_r
     pri = rii[h2:h2 + F] - acc_i
     pp_ref[:] = prr * prr + pri * pri
-    cs2_ref[:] = csr[h2:h2 + F] ** 2 + csi[h2:h2 + F] ** 2
     gd_ref[:] = guard[h2:h2 + F].astype(jnp.float32)
+    cre_ref[:] = cre[h2:h2 + F]
+    cim_ref[:] = cim[h2:h2 + F]
+    csr_ref[:] = csr[h2:h2 + F]
+    csi_ref[:] = csi[h2:h2 + F]
 
 
-def _denoise_apply_kernel(v_ref, wm_ref, a_p, a_c, a_n, p_p, p_c, p_n,
-                          cy_p, cy_c, cy_n, m_p, m_c, m_n,
-                          vo_p, vo_c, vo_n, or_ref, oi_ref,
-                          *, taps1, taps2, strength, K):
-    """Pass B: recompute the split (fit weighted by wm [1, K]), gate the
-    incoherent fast residual against the host-combined floor v [1, K],
-    and emit the UN-aligned complex harmonics (host converts to
-    ampl/phse -- no atan2 in Mosaic)."""
-    F = a_c.shape[0]
-    (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
-     m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
-                        m_p, m_c, m_n, vo_p, vo_c, vo_n,
-                        taps1=taps1, taps2=taps2, h_ext=0, F=F, K=K,
-                        wmul=wm_ref[:])
+def _denoise_apply_kernel(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
+                          csi_ref, cy_ref, m_ref, gd_ref, or_ref, oi_ref,
+                          *, strength, K):
+    """Pass B: reload the aligned/slow tracks emitted by pass A, redo the
+    across-k fit WEIGHTED by wm [1, K] (both sides of the normal
+    equations, matching the jnp reference -- an earlier form weighted
+    only the Gram matrix), gate the incoherent fast residual against the
+    host-combined floor v [1, K], and emit the UN-aligned complex
+    harmonics (host converts to ampl/phse -- no atan2 in Mosaic).
+    Purely per-row work: no halo blocks, no FIR, no align recompute."""
+    cre = cre_ref[:]
+    cim = cim_ref[:]
+    csr = csr_ref[:]
+    csi = csi_ref[:]
+    m = m_ref[:]
+    guard = gd_ref[:] > 0.5
+    kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
+          ).astype(jnp.float32)
+    rr = cre - csr
+    ri = cim - csi
+    w_k = wm_ref[:] * m                                # [rows, K]
+    p = (csr * csr + csi * csi) * w_k
+    crr = (csr * rr + csi * ri) * w_k     # Re(conj(c_s) r)
+    cri = (csr * ri - csi * rr) * w_k     # Im(conj(c_s) r)
+    a00 = jnp.sum(p, axis=1, keepdims=True)
+    a01 = jnp.sum(kh * p, axis=1, keepdims=True)
+    a11 = jnp.sum(kh * kh * p, axis=1, keepdims=True)
+    b0r = jnp.sum(crr, axis=1, keepdims=True)
+    b0i = jnp.sum(cri, axis=1, keepdims=True)
+    b1r = jnp.sum(kh * crr, axis=1, keepdims=True)
+    b1i = jnp.sum(kh * cri, axis=1, keepdims=True)
+    det = a00 * a11 - a01 * a01
+    inv = 1.0 / (det + 1e-5 * a00 * a11 + 1e-12)
+    m0r = (a11 * b0r - a01 * b1r) * inv
+    m0i = (a11 * b0i - a01 * b1i) * inv
+    m1r = (a00 * b1r - a01 * b0r) * inv
+    m1i = (a00 * b1i - a01 * b0i) * inv
+    wr = m0r + m1r * kh
+    wi = m0i + m1i * kh
+    rcr = wr * csr - wi * csi
+    rci = wr * csi + wi * csr
+    rir = rr - rcr
+    rii = ri - rci
     v = v_ref[:]                                       # [1, K]
     pw = rir * rir + rii * rii
     g = jnp.clip(1.0 - strength * v / (pw + 1e-20), 0.0, 1.0)
@@ -984,9 +1014,7 @@ def _denoise_apply_kernel(v_ref, wm_ref, a_p, a_c, a_n, p_p, p_c, p_n,
     outr = jnp.where(guard, outr, cre)
     outi = jnp.where(guard, outi, cim)
     # un-align: multiply by e^{+2 pi j k cyc_c}
-    kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
-          ).astype(jnp.float32)
-    pha = cy_c[:] * kh
+    pha = cy_ref[:] * kh
     pha = pha - jnp.round(pha)
     ua = TWO_PI * pha
     ur = jnp.cos(ua)
@@ -1011,9 +1039,10 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
                          block: int = FRAME_BLOCK):
     """Fused pass A of the track denoiser: one read of the chunk fields
     -> probe-band incoherent power pp [N, K], slow-track power cs2
-    [N, K], guard [N] (see layer0._track_denoise; the jnp formulation
-    materializes a full array per FIR tap and costed ~13 ms/step at
-    batch 128)."""
+    [N, K], raw fast power r2 [N, K], guard [N], plus the aligned track
+    (cre, cim) and slow track (csr, csi) for pass B to reload (see
+    layer0._track_denoise; the jnp formulation materializes a full array
+    per FIR tap and costed ~13 ms/step at batch 128)."""
     N, K = ampl.shape
     # the 3-view halo covers at most one block on each side; the FIR
     # spans must fit (review finding: prev[F + d0:] silently mis-slices
@@ -1027,7 +1056,7 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     m3 = _denoise_pack3(mask, N, pad, block)
     vo3 = _denoise_pack3(voiced, N, pad, block)
     nb = (N + pad) // block
-    pp, cs2, r2, gd = pl.pallas_call(
+    pp, gd, cre, cim, csr, csi = pl.pallas_call(
         functools.partial(_denoise_stats_kernel,
                           taps1=tuple(float(t) for t in taps1),
                           taps2=tuple(float(t) for t in taps2), K=K),
@@ -1036,55 +1065,59 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
                   + _denoise_spec3(1, block) + _denoise_spec3(K, block)
                   + _denoise_spec3(1, block)),
         out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, 1), lambda i: (i, 0)),
                    pl.BlockSpec((block, K), lambda i: (i, 0)),
                    pl.BlockSpec((block, K), lambda i: (i, 0)),
-                   pl.BlockSpec((block, 1), lambda i: (i, 0))),
+                   pl.BlockSpec((block, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block, K), lambda i: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
                    jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
-                   jax.ShapeDtypeStruct((N + pad, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
+                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32)),
         interpret=_interpret(),
     )(a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
-    return pp[:N], cs2[:N], r2[:N], gd[:N, 0] > 0.5
+    cre, cim, csr, csi = cre[:N], cim[:N], csr[:N], csi[:N]
+    # |c_s|^2 and |r|^2 derived outside the kernel (XLA fuses them into
+    # the host-side floor statistics; saves two [N, K] kernel outputs)
+    cs2 = csr * csr + csi * csi
+    r2 = (cre - csr) ** 2 + (cim - csi) ** 2
+    return (pp[:N], cs2, r2, gd[:N, 0] > 0.5, cre, cim, csr, csi)
 
 
-@functools.partial(jax.jit, static_argnames=("taps1", "taps2", "strength",
-                                             "block"))
-def denoise_apply_pallas(ampl, phse, cyc_c, mask, voiced, v, wmul,
-                         taps1, taps2, strength: float,
-                         block: int = FRAME_BLOCK):
-    """Fused pass B: gate against the combined floor v [K], with the
-    coherent fit weighted by wmul [K], and return the un-aligned complex
-    harmonics (re, im) [N, K]."""
-    N, K = ampl.shape
-    assert len(taps1) // 2 + len(taps2) // 2 < block, \
-        "denoiser FIR halo exceeds one frame block"
+@functools.partial(jax.jit, static_argnames=("strength", "block"))
+def denoise_apply_pallas(cre, cim, csr, csi, cyc_c, mask, guard, v, wmul,
+                         strength: float, block: int = FRAME_BLOCK):
+    """Fused pass B: reload pass A's aligned/slow tracks, gate against
+    the combined floor v [K] with the coherent fit weighted by wmul [K],
+    and return the un-aligned complex harmonics (re, im) [N, K].  Purely
+    per-row work -- no halo views, no FIR recompute."""
+    N, K = cre.shape
+
+    def pack(a, width):
+        a2 = a.reshape(N, width).astype(jnp.float32)
+        return jnp.pad(a2, ((0, (-N) % block), (0, 0)))
+
     pad = (-N) % block
-    a3 = _denoise_pack3(ampl, N, pad, block)
-    p3 = _denoise_pack3(phse, N, pad, block)
-    cy3 = _denoise_pack3(cyc_c, N, pad, block)
-    m3 = _denoise_pack3(mask, N, pad, block)
-    vo3 = _denoise_pack3(voiced, N, pad, block)
     nb = (N + pad) // block
+    blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
     re, im = pl.pallas_call(
         functools.partial(_denoise_apply_kernel,
-                          taps1=tuple(float(t) for t in taps1),
-                          taps2=tuple(float(t) for t in taps2),
                           strength=float(strength), K=K),
         grid=(nb,),
-        in_specs=([pl.BlockSpec((1, K), lambda i: (0, 0)),
-                   pl.BlockSpec((1, K), lambda i: (0, 0))]
-                  + _denoise_spec3(K, block) + _denoise_spec3(K, block)
-                  + _denoise_spec3(1, block) + _denoise_spec3(K, block)
-                  + _denoise_spec3(1, block)),
-        out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
-                   pl.BlockSpec((block, K), lambda i: (i, 0))),
+        in_specs=[pl.BlockSpec((1, K), lambda i: (0, 0)),
+                  pl.BlockSpec((1, K), lambda i: (0, 0)),
+                  blk(K), blk(K), blk(K), blk(K), blk(1), blk(K), blk(1)],
+        out_specs=(blk(K), blk(K)),
         out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
                    jax.ShapeDtypeStruct((N + pad, K), jnp.float32)),
         interpret=_interpret(),
     )(v.reshape(1, K).astype(jnp.float32),
       wmul.reshape(1, K).astype(jnp.float32),
-      a3, a3, a3, p3, p3, p3, cy3, cy3, cy3, m3, m3, m3, vo3, vo3, vo3)
+      pack(cre, K), pack(cim, K), pack(csr, K), pack(csi, K),
+      pack(cyc_c, 1), pack(mask, K),
+      pack(guard.astype(jnp.float32), 1))
     return re[:N], im[:N]
 
 
