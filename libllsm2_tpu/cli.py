@@ -51,6 +51,68 @@ def _analyze_file(path: str, args):
     return x, fs, chunk
 
 
+def _cmd_batch(args):
+    """Corpus QA from the CLI: analyze+resynthesize every WAV in a
+    directory through the bucketed batched runner (native loader, F0
+    sidecars or the built-in tracker) and write a JSON report; with
+    --audio-dir, also write the resynthesized WAVs."""
+    import json
+    import os
+    import time
+
+    from . import create_aoptions, create_soptions
+    from .parallel import corpus
+    from .utils import audio, dataio
+
+    indir = args.input
+    paths = sorted(os.path.join(indir, p) for p in os.listdir(indir)
+                   if p.lower().endswith(".wav"))
+    assert paths, f"no .wav files in {indir}"
+    # all files must share one sample rate (one conf per run, like the
+    # reference's per-conf processing); probe the first file
+    _, fs = audio.wavread(paths[0])
+    opt = create_aoptions(fs=fs)
+    assert not opt.fs_input, (
+        f"batch mode loads raw PCM without resampling; {fs} Hz is not an "
+        "integral-hop rate (use the per-file commands, which resample)")
+    sopt = create_soptions(fs=opt.conf.fs)
+    want_audio = args.audio_dir is not None
+    if want_audio:
+        os.makedirs(args.audio_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    rows = []
+    total_sec = 0.0
+    for batch in corpus.run_corpus_files(opt, sopt, paths,
+                                         batch_size=args.batch_size,
+                                         want_audio=want_audio):
+        for j, p in enumerate(batch["paths"]):
+            rows.append({"path": p,
+                         "snr_db": round(float(batch["snr"][j]), 2)})
+            if want_audio:
+                nx = int(batch["nx"][j])
+                y = batch["y"][j, :nx]
+                outp = os.path.join(args.audio_dir,
+                                    os.path.basename(p))
+                audio.wavwrite(outp, y, sopt.fs)
+        total_sec += sum(dataio.wav_nsamples(p) for p in batch["paths"]
+                         ) / opt.conf.fs
+    dt = time.perf_counter() - t0
+    report = {
+        "n_files": len(rows),
+        "audio_sec": round(total_sec, 2),
+        "wall_sec": round(dt, 2),
+        "x_realtime": round(total_sec / max(dt, 1e-9), 1),
+        "mean_snr_db": round(float(np.mean([r["snr_db"] for r in rows])),
+                             2),
+        "files": rows,
+    }
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"batch: {len(rows)} files, {report['x_realtime']}x realtime, "
+          f"mean SNR {report['mean_snr_db']} dB -> {args.output}")
+
+
 def main(argv=None):
     import os
 
@@ -66,7 +128,7 @@ def main(argv=None):
     two_input = {"morph", "concat"}
     for name in ["roundtrip", "pitch-shift", "stretch", "formant-shift",
                  "breathiness", "vibrato", "tremolo", "creak", "morph",
-                 "concat", "pbp", "code", "decode", "track-f0"]:
+                 "concat", "pbp", "code", "decode", "track-f0", "batch"]:
         p = sub.add_parser(name)
         p.add_argument("input")
         if name in two_input:
@@ -95,7 +157,15 @@ def main(argv=None):
         p.add_argument("--denoise", type=float, default=0.0, metavar="HZ",
                        help="harmonic-track lowpass cutoff for breathy "
                             "recordings (try 30; smears fast dynamics)")
+        p.add_argument("--batch-size", type=int, default=16,
+                       help="batch: utterances per device dispatch")
+        p.add_argument("--audio-dir", default=None,
+                       help="batch: also write resynthesized WAVs here")
     args = ap.parse_args(argv)
+
+    if args.cmd == "batch":
+        _cmd_batch(args)
+        return
 
     from . import create_soptions
     from .models import edits, layer0, layer1, pbp

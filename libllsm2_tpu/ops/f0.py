@@ -45,28 +45,60 @@ class F0Config(NamedTuple):
                                 # (octave disambiguation; 0 disables)
     hs_harmonics: int = 12      # comb length
     hs_decay: float = 0.9       # per-harmonic comb weight decay
+    integration_periods: float = 2.0    # YIN difference-integration span
+                                # in periods of f0_floor (0 = legacy
+                                # full-window integration, which loses
+                                # voicing under F0 glides)
 
 
-def _difference_function(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
+def _difference_function(frames: jnp.ndarray, tau_max: int,
+                         span: int | None = None) -> jnp.ndarray:
     """YIN d(tau) for tau in [0, tau_max) for every frame [N, W] at once.
 
-    d(tau) = sum_{j<W-tau} (x_j - x_{j+tau})^2
-           = e(0,W-tau) + e(tau,W) - 2*r(tau)
-    with running energies e and autocorrelation r (batched rfft).
+    d(tau) = sum_{j in [s, s+span)} (x_j - x_{j+tau})^2
+           = e(s, s+span) + e(s+tau, s+span+tau) - 2*r(tau)
+    with running energies e and a cross-correlation r (batched rfft).
+
+    `span` is the fixed integration length (YIN's W'), CENTERED in the
+    frame: s = (W - span - tau_max) // 2.  The original full-window form
+    (span = W - tau) integrated over ~the whole 64 ms analysis window,
+    which destroys periodicity under F0 glides (at 10%/window the lag
+    drifts by several samples across the span and the CMNDF minimum
+    rises past the voicing threshold: measured voiced-recall collapse to
+    ~0.4 on fully voiced glide fixtures).  A ~2-period span matches the
+    YIN paper's construction and keeps the lag locally coherent.
+    span=None keeps the legacy full-window behavior.
     """
     N, W = frames.shape
     nfft = 1
     while nfft < 2 * W:
         nfft *= 2
-    spec = jnp.fft.rfft(frames, n=nfft)
-    r = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft)[:, :tau_max]  # [N, tau]
+    if span is None:
+        spec = jnp.fft.rfft(frames, n=nfft)
+        r = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft)[:, :tau_max]
+        sq = frames**2
+        csum = jnp.concatenate(
+            [jnp.zeros((N, 1)), jnp.cumsum(sq, axis=-1)], axis=-1)
+        tau = jnp.arange(tau_max)
+        e0 = jnp.take(csum, W - tau, axis=-1)
+        et = csum[:, W:W + 1] - jnp.take(csum, tau, axis=-1)
+        return jnp.maximum(e0 + et - 2.0 * r, 0.0)
+    span = int(min(span, W - tau_max))
+    s = (W - span - tau_max) // 2
+    seg = frames[:, s:s + span]
+    # r(tau) = sum_j seg_j * frame_{s + j + tau}: cross-correlate the
+    # fixed span against the whole frame in the frequency domain
+    spec_f = jnp.fft.rfft(frames, n=nfft)
+    spec_s = jnp.fft.rfft(seg, n=nfft)
+    xc = jnp.fft.irfft(jnp.conj(spec_s) * spec_f, n=nfft)
+    r = xc[:, s:s + tau_max]
     sq = frames**2
     csum = jnp.concatenate(
-        [jnp.zeros((N, 1)), jnp.cumsum(sq, axis=-1)], axis=-1)     # [N, W+1]
+        [jnp.zeros((N, 1)), jnp.cumsum(sq, axis=-1)], axis=-1)
     tau = jnp.arange(tau_max)
-    # e(0, W-tau): energy of x_0..x_{W-tau-1}; e(tau, W): of x_tau..x_{W-1}
-    e0 = jnp.take(csum, W - tau, axis=-1)
-    et = csum[:, W:W + 1] - jnp.take(csum, tau, axis=-1)
+    e0 = jnp.sum(seg**2, axis=-1, keepdims=True)
+    et = jnp.take(csum, s + span + tau, axis=-1) \
+        - jnp.take(csum, s + tau, axis=-1)
     return jnp.maximum(e0 + et - 2.0 * r, 0.0)
 
 
@@ -95,7 +127,11 @@ def track(cfg: F0Config, x: jnp.ndarray) -> jnp.ndarray:
 
     tau_min = int(fs / cfg.f0_ceil)
     tau_max = min(int(fs / cfg.f0_floor) + 2, cfg.winlen - 1)
-    d = _difference_function(frames, tau_max)
+    span = None
+    if cfg.integration_periods > 0.0:
+        span = max(int(cfg.integration_periods * fs / cfg.f0_floor),
+                   2 * tau_min)
+    d = _difference_function(frames, tau_max, span)
     dp = _cmndf(d)                                           # [N, tau_max]
 
     # observation cost on the log-pitch grid: sample the CMNDF at each

@@ -108,3 +108,31 @@ def load_wav_batch(paths: Sequence[str], bucket_samples: int,
         except Exception:
             pass
     return out, lengths, rates
+
+
+def wav_nsamples(path: str) -> int:
+    """Per-channel sample count from the RIFF header alone (no data
+    read) -- corpus bucketing scans thousands of headers before loading
+    anything (reference analog: ciglet wavread reads whole files)."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(12)
+            if len(hdr) < 12 or hdr[:4] != b"RIFF":
+                return 0
+            nch, bits = 1, 16
+            while True:
+                ck = f.read(8)
+                if len(ck) < 8:
+                    return 0
+                cid, size = ck[:4], struct.unpack("<I", ck[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size)
+                    nch = struct.unpack("<H", fmt[2:4])[0]
+                    bits = struct.unpack("<H", fmt[14:16])[0]
+                elif cid == b"data":
+                    return size // max(nch * (bits // 8), 1)
+                else:
+                    f.seek(size, 1)
+    except OSError:
+        return 0

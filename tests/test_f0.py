@@ -35,6 +35,26 @@ def test_unvoiced_detected():
     assert np.mean(head > 0.0) > 0.9, np.mean(head > 0.0)
 
 
+def test_glide_voicing_recall():
+    """F0 glides must not break voicing: the legacy full-window YIN
+    integration (64 ms) let the lag drift across the span and the CMNDF
+    minimum rose past the voicing threshold -- measured recall ~0.4-0.7
+    on fully voiced short glide fixtures (the YIN-paper fixed ~2-period
+    span restores it)."""
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        dur = float(rng.uniform(0.25, 0.45))
+        x, f0_true = testsig.make_test_utterance(duration=dur,
+                                                 seed=10 + i)
+        cfg = f0mod.F0Config(f0_floor=90.0)
+        tr = np.asarray(f0mod.track(cfg, jnp.asarray(x, jnp.float32)))
+        nf = min(len(f0_true), len(tr))
+        v = tr[:nf] > 0
+        assert np.mean(v) > 0.9, (i, np.mean(v))
+        rel = np.abs(tr[:nf][v] - f0_true[:nf][v]) / f0_true[:nf][v]
+        assert np.median(rel) < 0.005, (i, np.median(rel))
+
+
 def test_self_contained_pipeline():
     """Raw audio -> tracked F0 -> analyze -> synthesize, no external F0."""
     x, f0_true = testsig.make_test_utterance(duration=1.0)

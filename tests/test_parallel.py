@@ -69,6 +69,58 @@ def test_run_corpus_bucketed_with_checkpoint():
     assert results2 == []
 
 
+def test_run_corpus_files_end_to_end(tmp_path):
+    """File-path corpus runner: header-scan bucketing, int16 batch
+    loading with on-device float conversion, F0 sidecars AND the
+    on-device tracker fallback, checkpoint/resume, want_audio."""
+    from libllsm2_tpu.utils import audio, dataio
+
+    opt = small_opt()
+    sopt = create_soptions()
+    fs = opt.conf.fs
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(6):
+        dur = float(rng.uniform(0.25, 0.45))
+        x, f0 = testsig.make_test_utterance(duration=dur, seed=10 + i)
+        p = str(tmp_path / f"utt{i}.wav")
+        audio.wavwrite(p, x.astype(np.float32), fs)
+        if i % 2 == 0:          # odd files exercise the tracker fallback
+            np.save(str(tmp_path / f"utt{i}.f0.npy"),
+                    f0.astype(np.float32))
+        paths.append(p)
+    assert dataio.wav_nsamples(paths[0]) > 0
+
+    ckpt = {}
+    results = list(corpus.run_corpus_files(
+        opt, sopt, paths, bucket_frames=(64, 128), batch_size=4,
+        checkpoint=ckpt, want_audio=True))
+    got = {p: float(s) for r in results
+           for p, s in zip(r["paths"], r["snr"])}
+    assert sorted(got) == sorted(paths)
+    for p, s in got.items():
+        assert s > 20.0, (p, s)     # int16 quantization + tracker rows
+    # audio rows round-trip: non-trivial signal of the right length
+    r0 = results[0]
+    assert r0["y"].shape[0] == len(r0["paths"])
+    for j, p in enumerate(r0["paths"]):
+        nx = int(r0["nx"][j])
+        assert nx == min(dataio.wav_nsamples(p),
+                         r0["bucket"] * opt.conf.nhop)
+        assert float(np.std(r0["y"][j, :nx])) > 1e-3
+    # resume: everything done -> nothing yielded
+    assert list(corpus.run_corpus_files(
+        opt, sopt, paths, bucket_frames=(64, 128), batch_size=4,
+        checkpoint=ckpt)) == []
+    # rate guard: a file at the wrong rate is rejected with a clear error
+    xb, _ = testsig.make_test_utterance(duration=0.3, seed=99)
+    bad = str(tmp_path / "bad.wav")
+    audio.wavwrite(bad, xb.astype(np.float32), 8000)
+    with pytest.raises(ValueError, match="sample rate"):
+        list(corpus.run_corpus_files(opt, sopt, [bad],
+                                     bucket_frames=(64,), batch_size=1))
+
+
 def test_frame_sharded_synthesis_matches_single_device():
     opt = small_opt()
     sopt = create_soptions()
