@@ -12,7 +12,6 @@ import dataclasses
 import json
 import os
 import functools
-import struct
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -24,24 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def wav_nsamples(path: str) -> int:
     """Frame count from the RIFF header alone (no data read)."""
-    with open(path, "rb") as f:
-        hdr = f.read(12)
-        if len(hdr) < 12 or hdr[:4] != b"RIFF":
-            return 0
-        nch, bits = 1, 16
-        while True:
-            ck = f.read(8)
-            if len(ck) < 8:
-                return 0
-            cid, size = ck[:4], struct.unpack("<I", ck[4:])[0]
-            if cid == b"fmt ":
-                fmt = f.read(size)
-                nch = struct.unpack("<H", fmt[2:4])[0]
-                bits = struct.unpack("<H", fmt[14:16])[0]
-            elif cid == b"data":
-                return size // (nch * (bits // 8))
-            else:
-                f.seek(size, 1)
+    from libllsm2_tpu.utils import dataio
+    return dataio.wav_nsamples(path)
 
 
 def generate_corpus(dirpath: str, n_utts: int, fs: float) -> None:
