@@ -119,6 +119,17 @@ def test_run_corpus_files_end_to_end(tmp_path):
     with pytest.raises(ValueError, match="sample rate"):
         list(corpus.run_corpus_files(opt, sopt, [bad],
                                      bucket_frames=(64,), batch_size=1))
+    # mesh-sharded: same SNRs as the unsharded run (dp over the batch)
+    m = meshlib.make_mesh(4)
+    res_m = list(corpus.run_corpus_files(
+        opt, sopt, paths[:4], bucket_frames=(128,), batch_size=4, mesh=m))
+    base = {p: s for r in results for p, s in zip(r["paths"], r["snr"])
+            if r["bucket"] == 128}
+    # (padding length differs between the runs, so the tracker-fallback
+    # rows can move a little; sharding itself is bit-preserving)
+    for p, s in zip(res_m[0]["paths"], res_m[0]["snr"]):
+        if p in base:
+            np.testing.assert_allclose(s, base[p], atol=1.0)
 
 
 def test_frame_sharded_synthesis_matches_single_device():
