@@ -129,6 +129,20 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def decode_frames(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
+    """Streaming decode: [M, dims] -> layer-0 chunk whose phases are
+    per-frame RELATIVE (minphase(VT) + LF source; no cross-frame
+    propagation).  Feed the result to an RTSynthesizer / StreamPool
+    constructed with phase_mode="propagate": the synthesizer carries the
+    fundamental-cycle state across feeds, so an acoustic model can emit
+    coder vectors block-by-block and the render stays phase-coherent
+    over an unbounded stream (the offline `decode` propagates within one
+    chunk only, which breaks at block seams).  The TTS-serving shape:
+    model -> vectors -> decode_frames -> StreamPool."""
+    return layer1.chunk_to_layer0(decode_layer1(coder, vectors))
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     """[nfrm, dims] vectors -> layer-0 chunk ready for llsm_synthesize
     (reference: coder.c -> llsm_coder_decode, layer-0 variant):

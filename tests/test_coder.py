@@ -109,3 +109,38 @@ def test_decode_layer1_variant(l1chunk):
     # the layer-0 variant renders harmonics from the same parameters
     d0 = coder.decode(cc, v)
     assert float(np.abs(np.asarray(d0.ampl)).max()) > 0.0
+
+
+def test_streaming_vector_decode_matches_offline(l1chunk):
+    """The TTS-serving shape: coder vectors decoded block-by-block
+    (decode_frames) into an RTSynthesizer with phase_mode="propagate"
+    must render the same harmonic audio as the offline decode+synthesize
+    path (the synthesizer's cycle carry replaces the chunk-level phase
+    propagation; noise realizations differ by construction)."""
+    from libllsm2_tpu.runtime import rtsynth
+
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = coder.encode(cc, l1)
+    sopt = create_soptions()
+
+    off = layer0.synthesize(sopt, coder.decode(cc, v))
+    y_off = np.asarray(off.y_sin)
+
+    rt = rtsynth.RTSynthesizer(sopt, l1.conf, capacity_frames=l1.nfrm + 8,
+                               phase_mode="propagate")
+    out = []
+    B = 16
+    for s in range(0, v.shape[0], B):      # arbitrary block granularity
+        rt.feed_many(coder.decode_frames(cc, v[s:s + B]))
+        out.append(rt.fetch(rt.readable()))
+    rt.flush()
+    out.append(rt.fetch(rt.readable()))
+    y_st = np.concatenate(out)
+
+    n = min(len(y_off), len(y_st))
+    lo, hi = int(0.1 * n), int(0.9 * n)
+    num = float(np.sum(y_off[lo:hi] ** 2))
+    den = float(np.sum((y_off[lo:hi] - y_st[lo:hi]) ** 2))
+    snr = 10.0 * np.log10(num / max(den, 1e-12))
+    assert snr > 25.0, snr
