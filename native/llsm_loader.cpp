@@ -23,19 +23,21 @@ struct WavData {
     int32_t sample_rate = 0;
 };
 
-bool read_wav(const char* path, WavData* out) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
+bool parse_wav(FILE* f, WavData* out) {
     auto rd_u32 = [&](uint32_t* v) {
         return std::fread(v, 4, 1, f) == 1;
     };
     auto rd_u16 = [&](uint16_t* v) {
         return std::fread(v, 2, 1, f) == 1;
     };
+    // total file size: header fields are UNTRUSTED (a malformed
+    // chunk_size of ~4 GB must not drive the allocation below)
+    if (std::fseek(f, 0, SEEK_END) != 0) return false;
+    long fsize = std::ftell(f);
+    if (fsize < 0 || std::fseek(f, 0, SEEK_SET) != 0) return false;
     uint32_t riff, size, wave;
     if (!rd_u32(&riff) || !rd_u32(&size) || !rd_u32(&wave) ||
         riff != 0x46464952u /*RIFF*/ || wave != 0x45564157u /*WAVE*/) {
-        std::fclose(f);
         return false;
     }
     uint16_t fmt = 0, channels = 0, bits = 0;
@@ -54,6 +56,18 @@ bool read_wav(const char* path, WavData* out) {
             got_fmt = true;
         } else if (tag == 0x61746164u /*"data"*/ && got_fmt) {
             if (channels == 0) break;
+            // reject formats the sample loop cannot decode (it used to
+            // emit silent zeros for them); a failed row reports length
+            // 0 to the caller instead
+            if (!((fmt == 1 && (bits == 16 || bits == 32)) ||
+                  (fmt == 3 && bits == 32))) break;
+            // clamp the declared size to the bytes actually present so
+            // the allocation is bounded by the file on disk
+            long pos = std::ftell(f);
+            if (pos < 0) break;
+            uint64_t avail = static_cast<uint64_t>(fsize - pos);
+            if (chunk_size > avail)
+                chunk_size = static_cast<uint32_t>(avail);
             std::vector<uint8_t> raw(chunk_size);
             if (std::fread(raw.data(), 1, chunk_size, f) != chunk_size)
                 break;
@@ -89,6 +103,21 @@ bool read_wav(const char* path, WavData* out) {
         } else {
             if (std::fseek(f, (chunk_size + 1) & ~1u, SEEK_CUR) != 0) break;
         }
+    }
+    return ok;
+}
+
+bool read_wav(const char* path, WavData* out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    bool ok = false;
+    // exception barrier: this is a C-ABI boundary called from ctypes --
+    // a bad_alloc (corrupt size field) escaping here would terminate
+    // the whole serving/corpus process
+    try {
+        ok = parse_wav(f, out);
+    } catch (...) {
+        ok = false;
     }
     std::fclose(f);
     return ok;

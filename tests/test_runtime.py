@@ -189,6 +189,56 @@ class TestNativeLoader:
         assert lengths[0] == 0
         np.testing.assert_array_equal(batch[0], 0.0)
 
+    def test_malformed_headers_fail_cleanly(self, tmp_path):
+        """Corrupt RIFF metadata must yield length-0 rows, never crash
+        the process: the native parser clamps the UNTRUSTED declared
+        data size to the bytes on disk (a 4 GB chunk_size used to drive
+        the allocation directly), rejects undecodable fmt/bit combos
+        (which used to emit silent zeros), and keeps C++ exceptions
+        behind the C ABI."""
+        import struct as st
+
+        from libllsm2_tpu.utils import audio, dataio
+
+        def wav_bytes(fmt=1, channels=1, rate=16000, bits=16,
+                      data=b"\x00" * 64, declared=None):
+            dsz = len(data) if declared is None else declared
+            fmtck = st.pack("<HHIIHH", fmt, channels, rate,
+                            rate * channels * bits // 8,
+                            channels * bits // 8, bits)
+            body = (b"WAVEfmt " + st.pack("<I", len(fmtck)) + fmtck
+                    + b"data" + st.pack("<I", dsz) + data)
+            return b"RIFF" + st.pack("<I", len(body)) + body
+
+        cases = {
+            # declared data size ~4 GB, actual 64 bytes: clamp, not
+            # allocate-and-die
+            "huge_declared.wav": wav_bytes(declared=0xFFFFFF00),
+            "zero_bits.wav": wav_bytes(bits=0),
+            "zero_channels.wav": wav_bytes(channels=0),
+            "pcm8_unsupported.wav": wav_bytes(bits=8),
+            "truncated.wav": wav_bytes()[:30],
+        }
+        paths = []
+        for name, blob in cases.items():
+            p = str(tmp_path / name)
+            with open(p, "wb") as fh:
+                fh.write(blob)
+            paths.append(p)
+        # one good file among the garbage still loads
+        x, _ = testsig.make_test_utterance(duration=0.1, seed=9)
+        good = str(tmp_path / "good.wav")
+        audio.wavwrite(good, x, 16000.0)
+        paths.append(good)
+
+        batch, lengths, rates = dataio.load_wav_batch(paths, 400)
+        # huge_declared clamps to the real 64 bytes = 32 PCM16 samples
+        assert lengths[0] == 32, lengths[0]
+        for i in range(1, 5):
+            assert lengths[i] == 0, (paths[i], lengths[i])
+            np.testing.assert_array_equal(batch[i], 0.0)
+        assert lengths[5] > 0 and rates[5] == 16000
+
 
 class TestFeedMany:
     """Batched streaming feed (VERDICT r1 #5): feed_many must produce
