@@ -68,14 +68,20 @@ def _cmd_batch(args):
     paths = sorted(os.path.join(indir, p) for p in os.listdir(indir)
                    if p.lower().endswith(".wav"))
     assert paths, f"no .wav files in {indir}"
-    # all files must share one sample rate (one conf per run, like the
-    # reference's per-conf processing); probe the first file
-    _, fs = audio.wavread(paths[0])
+    # one header scan: sample-rate probe (all files share one conf, like
+    # the reference's per-conf processing) + processed-audio accounting
+    # (utterances beyond the largest bucket are truncated by the runner,
+    # so billing their full duration would overstate x_realtime)
+    infos = {p: dataio.wav_info(p) for p in paths}
+    fs = next((r for _, r in infos.values() if r), 0)
+    assert fs, f"no parseable .wav headers in {indir}"
     opt = create_aoptions(fs=fs)
     assert not opt.fs_input, (
         f"batch mode loads raw PCM without resampling; {fs} Hz is not an "
         "integral-hop rate (use the per-file commands, which resample)")
     sopt = create_soptions(fs=opt.conf.fs)
+    bucket_frames = (200, 400, 800, 1600)
+    max_samp = bucket_frames[-1] * opt.conf.nhop
     want_audio = args.audio_dir is not None
     if want_audio:
         os.makedirs(args.audio_dir, exist_ok=True)
@@ -84,32 +90,38 @@ def _cmd_batch(args):
     rows = []
     total_sec = 0.0
     for batch in corpus.run_corpus_files(opt, sopt, paths,
+                                         bucket_frames=bucket_frames,
                                          batch_size=args.batch_size,
                                          want_audio=want_audio):
         for j, p in enumerate(batch["paths"]):
+            nsamp = min(infos[p][0], max_samp)
+            if nsamp == 0:       # corrupt/unreadable: flag, do not let
+                rows.append({"path": p, "failed": True})   # -inf poison
+                continue                                   # the mean
             rows.append({"path": p,
                          "snr_db": round(float(batch["snr"][j]), 2)})
+            total_sec += nsamp / opt.conf.fs
             if want_audio:
                 nx = int(batch["nx"][j])
                 y = batch["y"][j, :nx]
                 outp = os.path.join(args.audio_dir,
                                     os.path.basename(p))
                 audio.wavwrite(outp, y, sopt.fs)
-        total_sec += sum(dataio.wav_nsamples(p) for p in batch["paths"]
-                         ) / opt.conf.fs
     dt = time.perf_counter() - t0
+    snrs = [r["snr_db"] for r in rows if "snr_db" in r]
     report = {
         "n_files": len(rows),
+        "n_failed": sum(1 for r in rows if r.get("failed")),
         "audio_sec": round(total_sec, 2),
         "wall_sec": round(dt, 2),
         "x_realtime": round(total_sec / max(dt, 1e-9), 1),
-        "mean_snr_db": round(float(np.mean([r["snr_db"] for r in rows])),
-                             2),
+        "mean_snr_db": round(float(np.mean(snrs)), 2) if snrs else None,
         "files": rows,
     }
     with open(args.output, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"batch: {len(rows)} files, {report['x_realtime']}x realtime, "
+    print(f"batch: {len(rows)} files ({report['n_failed']} failed), "
+          f"{report['x_realtime']}x realtime, "
           f"mean SNR {report['mean_snr_db']} dB -> {args.output}")
 
 

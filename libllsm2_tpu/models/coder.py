@@ -130,15 +130,23 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
 
 @functools.partial(jax.jit, static_argnums=0)
 def decode_frames(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
-    """Streaming decode: [M, dims] -> layer-0 chunk whose phases are
-    per-frame RELATIVE (minphase(VT) + LF source; no cross-frame
-    propagation).  Feed the result to an RTSynthesizer / StreamPool
-    constructed with phase_mode="propagate": the synthesizer carries the
-    fundamental-cycle state across feeds, so an acoustic model can emit
-    coder vectors block-by-block and the render stays phase-coherent
-    over an unbounded stream (the offline `decode` propagates within one
-    chunk only, which breaks at block seams).  The TTS-serving shape:
-    model -> vectors -> decode_frames -> StreamPool."""
+    """Streaming decode: [M, dims] -> layer-0 frames ready for a
+    block-by-block feed, so an acoustic model can emit coder vectors
+    and the render stays phase-coherent over an unbounded stream (the
+    offline `decode` propagates phases within one chunk only, which
+    breaks at block seams).  The TTS-serving shape: model -> vectors ->
+    decode_frames -> RTSynthesizer / StreamPool.
+
+    Phase mode must match the coder (static, so misuse cannot be
+    detected here):
+      - with_phase=False (default): frames carry per-frame RELATIVE
+        phases (minphase(VT) + LF source) -- feed a synthesizer built
+        with phase_mode="propagate" (its fundamental-cycle carry
+        replaces the chunk-level propagation).
+      - with_phase=True: vsphse restores the ABSOLUTE analyzed phases
+        (accumulated cycles included) -- feed the default
+        phase_mode="absolute"; propagate mode would add the cycle ramp
+        a second time and decohere the OLA."""
     return layer1.chunk_to_layer0(decode_layer1(coder, vectors))
 
 

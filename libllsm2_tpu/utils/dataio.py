@@ -110,29 +110,47 @@ def load_wav_batch(paths: Sequence[str], bucket_samples: int,
     return out, lengths, rates
 
 
-def wav_nsamples(path: str) -> int:
-    """Per-channel sample count from the RIFF header alone (no data
-    read) -- corpus bucketing scans thousands of headers before loading
-    anything (reference analog: ciglet wavread reads whole files)."""
+def wav_info(path: str) -> Tuple[int, int]:
+    """(per-channel sample count, sample rate) from the RIFF header
+    alone (no data read) -- corpus bucketing scans thousands of headers
+    before loading anything (reference analog: ciglet wavread reads
+    whole files).  Returns (0, 0) on ANY malformed header: the scanner
+    sees the same untrusted files the hardened native loader does, so a
+    truncated fmt chunk must not crash the corpus run (struct.error is
+    not an OSError).  Chunk skips honor RIFF word alignment (odd-size
+    ancillary chunks carry a pad byte), matching the native parser."""
     import struct
     try:
         with open(path, "rb") as f:
             hdr = f.read(12)
             if len(hdr) < 12 or hdr[:4] != b"RIFF":
-                return 0
-            nch, bits = 1, 16
+                return 0, 0
+            nch, bits, rate = 1, 16, 0
             while True:
                 ck = f.read(8)
                 if len(ck) < 8:
-                    return 0
+                    return 0, 0
                 cid, size = ck[:4], struct.unpack("<I", ck[4:])[0]
                 if cid == b"fmt ":
                     fmt = f.read(size)
+                    if len(fmt) < 16:
+                        return 0, 0
                     nch = struct.unpack("<H", fmt[2:4])[0]
+                    rate = struct.unpack("<I", fmt[4:8])[0]
                     bits = struct.unpack("<H", fmt[14:16])[0]
+                    if size % 2:
+                        f.seek(1, 1)
+                    if nch == 0 or bits // 8 == 0:
+                        return 0, 0
                 elif cid == b"data":
-                    return size // max(nch * (bits // 8), 1)
+                    return size // max(nch * (bits // 8), 1), rate
                 else:
-                    f.seek(size, 1)
-    except OSError:
-        return 0
+                    f.seek((size + 1) & ~1, 1)
+    except Exception:
+        return 0, 0
+
+
+def wav_nsamples(path: str) -> int:
+    """Per-channel sample count from the RIFF header alone (see
+    wav_info); 0 on any parse failure."""
+    return wav_info(path)[0]

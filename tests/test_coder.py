@@ -144,3 +144,32 @@ def test_streaming_vector_decode_matches_offline(l1chunk):
     den = float(np.sum((y_off[lo:hi] - y_st[lo:hi]) ** 2))
     snr = 10.0 * np.log10(num / max(den, 1e-12))
     assert snr > 25.0, snr
+
+
+def test_streaming_vector_decode_with_phase(l1chunk):
+    """with_phase=True coders restore ABSOLUTE phases, so streaming
+    decode pairs with the default phase_mode="absolute" (propagate mode
+    would add the cycle ramp twice -- see decode_frames docstring)."""
+    from libllsm2_tpu.runtime import rtsynth
+
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf, with_phase=True)
+    v = coder.encode(cc, l1)
+    sopt = create_soptions()
+    y_off = np.asarray(layer0.synthesize(sopt, coder.decode(cc, v)).y_sin)
+
+    rt = rtsynth.RTSynthesizer(sopt, l1.conf, capacity_frames=l1.nfrm + 8)
+    out = []
+    for s in range(0, v.shape[0], 16):
+        rt.feed_many(coder.decode_frames(cc, v[s:s + 16]))
+        out.append(rt.fetch(rt.readable()))
+    rt.flush()
+    out.append(rt.fetch(rt.readable()))
+    y_st = np.concatenate(out)
+
+    n = min(len(y_off), len(y_st))
+    lo, hi = int(0.1 * n), int(0.9 * n)
+    num = float(np.sum(y_off[lo:hi] ** 2))
+    den = float(np.sum((y_off[lo:hi] - y_st[lo:hi]) ** 2))
+    snr = 10.0 * np.log10(num / max(den, 1e-12))
+    assert snr > 25.0, snr
