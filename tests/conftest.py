@@ -18,3 +18,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module: with the
+    whole suite in one process, XLA:CPU segfaulted compiling the large
+    8-device sharded-analysis program once ~170 earlier programs had
+    accumulated (reproduced 3x at the same spot, solo and under load;
+    the same test compiles fine in a fresh process).  Per-module
+    recompiles of the shared small programs cost far less than the
+    crash."""
+    yield
+    jax.clear_caches()
