@@ -325,3 +325,51 @@ def test_time_stretch_keeps_pbp_coherent(const_l1):
     y = np.asarray(pbp.pbp_synthesize(create_soptions(), st).y_sin)
     assert np.all(np.isfinite(y))
     assert _periodicity(y, 140.0) >= 0.9, _periodicity(y, 140.0)
+
+
+def test_edit_chain_with_unvoiced_regions():
+    """Edits on a mixed voiced/unvoiced chunk: pitch_shift + vibrato +
+    time_stretch must keep f0 = 0 frames unvoiced, keep the unvoiced
+    tail's noise energy (edits are harmonic-domain; the noise model
+    rides along), and stay OLA-coherent in the voiced core."""
+    x, f0 = testsig.make_test_utterance(duration=0.8, seed=6,
+                                        noise_level=0.05,
+                                        unvoiced_tail_frac=0.3)
+    l1 = layer1.chunk_to_layer1(layer0.analyze(create_aoptions(), x, f0))
+    r = 1.5
+    ed = edits.time_stretch(
+        edits.vibrato(edits.pitch_shift(l1, r), 5.0, 0.3), 1.25)
+    # voicing structure preserved (stretch resamples the frame grid)
+    f0e = np.asarray(ed.f0)
+    assert np.mean(f0e > 0) == pytest.approx(
+        np.mean(np.asarray(l1.f0) > 0), abs=0.05)
+    out = layer0.synthesize(create_soptions(), ed)
+    y = np.asarray(out.y)
+    assert np.all(np.isfinite(y))
+    # unvoiced tail: noise survives the chain (within 3 dB of the
+    # original tail energy density)
+    fs = 16000.0
+    n_in, n_out = len(x), len(y)
+    tail_in = x[int(0.75 * n_in):int(0.95 * n_in)]
+    tail_out = y[int(0.75 * n_out):int(0.95 * n_out)]
+    e_in = 10 * np.log10(np.mean(tail_in ** 2) + 1e-20)
+    e_out = 10 * np.log10(np.mean(tail_out ** 2) + 1e-20)
+    assert abs(e_out - e_in) < 3.0, (e_in, e_out)
+    # voiced core stays OLA-coherent: the track GLIDES (and carries the
+    # added vibrato), so measure periodicity per 50 ms segment at the
+    # LOCAL edited f0 instead of one global lag
+    f0v = np.asarray(ed.f0)
+    y_sin = np.asarray(out.y_sin)
+    nhop, thop = 80, 0.005
+    seg_frames = 10                                  # 50 ms
+    ps = []
+    for s in range(4, int(0.55 * len(f0v)) - seg_frames, seg_frames):
+        f_loc = f0v[s:s + seg_frames]
+        if np.any(f_loc <= 0):
+            continue
+        seg = y_sin[s * nhop:(s + seg_frames) * nhop]
+        lag = int(round(16000.0 / float(np.median(f_loc))))
+        a, b = seg[:-lag], seg[lag:]
+        ps.append(float(np.dot(a, b) / np.sqrt(
+            np.dot(a, a) * np.dot(b, b) + 1e-20)))
+    assert np.mean(ps) > 0.9, (np.mean(ps), ps)
