@@ -105,11 +105,20 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     n = vectors.shape[0]
     sl = {name: vectors[:, off:off + size]
           for name, off, size in coder.layout()}
-    f0 = sl["f0"][:, 0]
+    # vectors come from ML models, so every slot is clamped to its
+    # physical range (like the Rd clamp below): unbounded log-domain
+    # values overflow exp() into inf/NaN audio, negative band energies
+    # break the noise path, and a fundamental above Nyquist is
+    # meaningless.  The bounds are generous -- real encodes never bind
+    # them (round-trip tests are bit-unchanged).
+    f0 = jnp.clip(sl["f0"][:, 0], 0.0, c.fnyq)
     voiced = f0 > 0
     vtmagn = jax.vmap(lambda v: _resample_lastdim(v, c.nspec))(sl["vtmagn"])
+    vtmagn = jnp.clip(vtmagn, LOG_FLOOR, 15.0)
     vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
-    psd = jnp.exp(jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]))
+    psd = jnp.exp(jnp.clip(
+        jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]),
+        -30.0, 30.0))
     K = c.maxnhar
     zk = jnp.zeros((n, K), FP)
     eenv_p = (sl["eenv_p"].reshape(n, c.nchannel, c.maxnhar_e)
@@ -118,7 +127,7 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     vsphse = sl["vsphse"] if coder.with_phase else zk
     return Chunk(
         f0=f0, ampl=zk, phse=zk, hm_mask=zk, psd=psd,
-        edc=sl["edc"],
+        edc=jnp.maximum(sl["edc"], 0.0),
         eenv_a=sl["eenv_a"].reshape(n, c.nchannel, c.maxnhar_e),
         eenv_p=eenv_p,
         # vectors may come from ML models (the coder's whole purpose):

@@ -173,3 +173,20 @@ def test_streaming_vector_decode_with_phase(l1chunk):
     den = float(np.sum((y_off[lo:hi] - y_st[lo:hi]) ** 2))
     snr = 10.0 * np.log10(num / max(den, 1e-12))
     assert snr > 25.0, snr
+
+
+def test_decode_random_vectors_never_nan(l1chunk):
+    """The coder's whole purpose is ML interop, so decode must survive
+    ARBITRARY model outputs: unbounded log-domain slots used to
+    overflow exp() into inf harmonics / NaN audio at ~1e3-scale inputs
+    (decode_layer1 now clamps every slot to its physical range, like
+    the pre-existing Rd clamp).  Real encodes never bind the clamps --
+    the round-trip tests above stay bit-unchanged."""
+    _, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    rng = np.random.default_rng(0)
+    sopt = create_soptions()
+    for scale in (1.0, 1e3, 1e6):
+        v = (scale * rng.standard_normal((30, cc.dims))).astype(np.float32)
+        y = np.asarray(layer0.synthesize(sopt, coder.decode(cc, v)).y)
+        assert np.all(np.isfinite(y)), scale
