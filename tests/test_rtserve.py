@@ -165,3 +165,59 @@ def test_idle_streams_cost_nothing(voices):
     np.testing.assert_array_equal(got[0], _solo(voices[0], 0))
     for s in range(1, 8):
         assert pool.readable(s) == 0
+
+
+def test_long_stream_soak(voices):
+    """Serving soak: one pool slot streams ~60 s of looped voice (12k
+    frames, many ring wraparounds at capacity 256 frames, cycle
+    accumulator carried across ~9k voiced hops).  The render must stay
+    finite, non-degenerate, and OLA-coherent at the END of the stream
+    (cumulative phase/cycle drift or a ring-index bug would surface as
+    cancellation or wrap corruption by then)."""
+    frames = rtsynth.RTSynthesizer.chunk_frames_np(voices[0])
+    pool = StreamPool(SOPT, OPT.conf, n_streams=2, feed_block=16,
+                      capacity_frames=256)
+    total = 12000
+    fed = 0
+    got = []
+    pos = 0
+    while fed < total:
+        take = min(64, total - fed, len(frames) - pos)
+        pool.feed(0, frames[pos:pos + take])
+        fed += take
+        pos = (pos + take) % len(frames)
+        while pool.service():
+            pass
+        got.append(pool.fetch(0, pool.readable(0)))
+    pool.end_stream(0)
+    got.append(pool.fetch(0, pool.readable(0)))
+    y = np.concatenate(got)
+    nhop = OPT.conf.nhop
+    assert len(y) >= (total - 2) * nhop
+    assert np.all(np.isfinite(y))
+    # energy stationarity: the looped voice's level must not decay or
+    # blow up across the stream (OLA incoherence shows as decay)
+    e0 = float(np.mean(y[10 * nhop:500 * nhop] ** 2))
+    e1 = float(np.mean(y[-500 * nhop:-10 * nhop] ** 2))
+    assert 0.5 < e1 / e0 < 2.0, (e0, e1)
+    # tail coherence: per-10-hop-segment periodicity at the LOCAL f0 of
+    # the looped voice (the track glides, and the loop splices end to
+    # start, so one global lag is not a valid oracle); skip segments
+    # adjacent to a splice
+    f0s = np.asarray(voices[0].f0)
+    L = len(f0s)
+    ps = []
+    for start in range(total - 420, total - 20, 10):
+        idx = np.arange(start, start + 10) % L
+        if idx[0] > idx[-1]:                   # spans the loop splice
+            continue
+        f_loc = f0s[idx]
+        if np.any(f_loc <= 0):
+            continue
+        seg = y[start * nhop:(start + 10) * nhop]
+        lag = int(round(16000.0 / float(np.median(f_loc))))
+        a, b = seg[:-lag], seg[lag:]
+        ps.append(float(np.dot(a, b) / np.sqrt(
+            np.dot(a, a) * np.dot(b, b) + 1e-20)))
+    assert len(ps) > 10
+    assert np.mean(ps) > 0.8, (np.mean(ps), ps[:8])
