@@ -488,10 +488,16 @@ class RTSynthesizer:
         f0v = np.full((budget,), 100.0, np.float32)
         frv = np.zeros((budget,), np.float32)
         val = np.zeros((budget,), np.float32)
-        for j, pj in enumerate(pulse_jobs):
-            _, _, frac, v0, v1, w, rd_p, f0_p = pj
-            vt0[j], vt1[j], wl[j] = v0, v1, w
-            rdv[j], f0v[j], frv[j], val[j] = rd_p, f0_p, frac, 1.0
+        if P:
+            # one stack per field (a per-job loop costs ~5 us x jobs of
+            # numpy-call overhead in a many-stream PbP serving tick)
+            vt0[:P] = np.stack([pj[3] for pj in pulse_jobs])
+            vt1[:P] = np.stack([pj[4] for pj in pulse_jobs])
+            wl[:P] = [pj[5] for pj in pulse_jobs]
+            rdv[:P] = [pj[6] for pj in pulse_jobs]
+            f0v[:P] = [pj[7] for pj in pulse_jobs]
+            frv[:P] = [pj[2] for pj in pulse_jobs]
+            val[:P] = 1.0
         return vt0, vt1, wl, rdv, f0v, frv, val
 
     def _commit_group(self, segs, M: int, pulses, pulse_jobs) -> None:
