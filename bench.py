@@ -119,10 +119,17 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         k, v = a.split("=")
         kw[k] = float(v) if "." in v else int(v)
-    # one retry: the remote-device relay in this image occasionally drops a
-    # dispatch; a failed bench should not lose the round's number
-    try:
-        main(**kw)
-    except Exception:
-        time.sleep(10)
-        main(**kw)
+    # retries with backoff: the remote-device relay in this image drops
+    # dispatches and has gone UNAVAILABLE for stretches (2026-08-18
+    # outage); a failed bench should not lose the round's number if the
+    # tunnel recovers within a few minutes
+    last = None
+    for wait in (10, 60, 180, 300):
+        try:
+            main(**kw)
+            break
+        except Exception as e:
+            last = e
+            time.sleep(wait)
+    else:
+        raise last
