@@ -123,13 +123,12 @@ if __name__ == "__main__":
     # dispatches and has gone UNAVAILABLE for stretches (2026-08-18
     # outage); a failed bench should not lose the round's number if the
     # tunnel recovers within a few minutes
-    last = None
-    for wait in (10, 60, 180, 300):
+    waits = (10, 60, 180, 300)
+    for attempt in range(len(waits) + 1):
         try:
             main(**kw)
             break
-        except Exception as e:
-            last = e
-            time.sleep(wait)
-    else:
-        raise last
+        except Exception:
+            if attempt == len(waits):
+                raise
+            time.sleep(waits[attempt])

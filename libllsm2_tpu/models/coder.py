@@ -108,17 +108,19 @@ def decode_layer1(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     # vectors come from ML models, so every slot is clamped to its
     # physical range (like the Rd clamp below): unbounded log-domain
     # values overflow exp() into inf/NaN audio, negative band energies
-    # break the noise path, and a fundamental above Nyquist is
-    # meaningless.  The bounds are generous -- real encodes never bind
-    # them (round-trip tests are bit-unchanged).
-    f0 = jnp.clip(sl["f0"][:, 0], 0.0, c.fnyq)
+    # break the noise path, and a fundamental above conf.f0_ceil
+    # overruns the PbP path's static pulse budgets.  The bounds are
+    # generous -- real encodes never bind them (encode floors psd at
+    # log(1e-20) = -46.05, inside the -50 clip; round-trip tests are
+    # bit-unchanged).
+    f0 = jnp.clip(sl["f0"][:, 0], 0.0, c.f0_ceil)
     voiced = f0 > 0
     vtmagn = jax.vmap(lambda v: _resample_lastdim(v, c.nspec))(sl["vtmagn"])
     vtmagn = jnp.clip(vtmagn, LOG_FLOOR, 15.0)
     vtmagn = jnp.where(voiced[:, None], vtmagn, LOG_FLOOR)
     psd = jnp.exp(jnp.clip(
         jax.vmap(lambda v: _resample_lastdim(v, c.npsd))(sl["psd"]),
-        -30.0, 30.0))
+        -50.0, 30.0))
     K = c.maxnhar
     zk = jnp.zeros((n, K), FP)
     eenv_p = (sl["eenv_p"].reshape(n, c.nchannel, c.maxnhar_e)

@@ -162,21 +162,30 @@ class RTSynthesizer:
         self._noise_memo = (j, b)   # frame i+1 re-reads block i
         return b
 
-    def _dc_segment(self, f0_prev, f0_cur, f0_next):
-        """Cycle offsets over [-nhop, nhop) with the offline pipeline's
-        piecewise-linear F0; float64 on host, mod-1 on device."""
-        nhop = self.nhop
-        fs = self.conf.fs
-        t = np.arange(-nhop, nhop, dtype=np.float64)
+    @staticmethod
+    def _dc_segments(nhop: int, fs: float, f0p, f0c, f0n) -> np.ndarray:
+        """Cycle offsets over [-nhop, nhop) for M frames at once with
+        the offline pipeline's piecewise-linear F0 (float64 on host,
+        mod-1 on device).  f0p/f0c/f0n are [M] float64 arrays; the
+        single source of truth for BOTH the per-frame feed path and the
+        block/serving assembly (they must stay bit-identical)."""
+        t = np.arange(-nhop, nhop, dtype=np.float64)[None, :]
         a = (t + nhop) / nhop
-        f_back = f0_prev + (f0_cur - f0_prev) * a          # t in [-nhop, 0)
-        f_fwd = f0_cur + (f0_next - f0_cur) * (t / nhop)   # t in [0, nhop)
-        f_t = np.where(t < 0, f_back, f_fwd)
-        dc = np.zeros(2 * nhop)
-        dc[nhop:] = (np.cumsum(f_t[nhop:]) - f_t[nhop:]) / fs  # exclusive
-        back = -np.cumsum(f_t[nhop - 1::-1]) / fs
-        dc[:nhop] = back[::-1]
+        f_back = f0p[:, None] + (f0c - f0p)[:, None] * a   # t in [-nhop, 0)
+        f_fwd = f0c[:, None] + (f0n - f0c)[:, None] * (t / nhop)
+        f_t = np.where(t < 0, f_back, f_fwd)               # [M, 2*nhop]
+        dc = np.zeros_like(f_t)
+        dc[:, nhop:] = (np.cumsum(f_t[:, nhop:], axis=1)
+                        - f_t[:, nhop:]) / fs              # exclusive
+        back = -np.cumsum(f_t[:, nhop - 1::-1], axis=1) / fs
+        dc[:, :nhop] = back[:, ::-1]
         return (dc % 1.0).astype(np.float32)
+
+    def _dc_segment(self, f0_prev, f0_cur, f0_next):
+        return self._dc_segments(
+            self.nhop, self.conf.fs, np.array([f0_prev], np.float64),
+            np.array([f0_cur], np.float64),
+            np.array([f0_next], np.float64))[0]
 
     @staticmethod
     def chunk_frames_np(chunk: Chunk):
@@ -411,33 +420,17 @@ class RTSynthesizer:
         ins["ep"][:M] = np.stack([g["eenv_p"] for g in grp[:M]])
         ins["voiced"][:M] = (f0c > 0).astype(np.float32)
 
-        # dc: the per-frame _dc_segment formula broadcast over rows
-        # (same f64 ops per element, cumsum along the same axis order)
-        t = np.arange(-nhop, nhop, dtype=np.float64)[None, :]
-        a_ = (t + nhop) / nhop
-        f_back = f0p[:, None] + (f0c - f0p)[:, None] * a_
-        f_fwd = f0c[:, None] + (f0n - f0c)[:, None] * (t / nhop)
-        f_t = np.where(t < 0, f_back, f_fwd)               # [M, 2*nhop]
-        dcm = np.zeros((M, 2 * nhop))
-        dcm[:, nhop:] = (np.cumsum(f_t[:, nhop:], axis=1)
-                         - f_t[:, nhop:]) / fs
-        back = -np.cumsum(f_t[:, nhop - 1::-1], axis=1) / fs
-        dcm[:, :nhop] = back[:, ::-1]
-        ins["dc"][:M] = (dcm % 1.0).astype(np.float32)
+        # dc: the shared batched cycle-offset helper (also backs the
+        # per-frame _dc_segment -- one source of truth)
+        ins["dc"][:M] = self._dc_segments(nhop, fs, f0p, f0c, f0n)
 
-        # noise: per-block seeded rng (block j keyed [seed, j], exactly
-        # as _noise_block), rows = sliding pairs of consecutive blocks
+        # noise: per-block seeded rng via _noise_block (the single owner
+        # of the [seed, j] keying + memo), rows = sliding pairs of
+        # consecutive blocks
         i0 = self._i
         blocks = np.empty((M + 1, nhop), np.float32)
         for bj, j in enumerate(range(i0 - 1, i0 + M)):
-            if self._noise_memo is not None and self._noise_memo[0] == j:
-                blocks[bj] = self._noise_memo[1]
-                continue
-            rng = np.random.default_rng([int(self.sopt.noise_seed),
-                                         max(j, 0)])
-            b = rng.standard_normal(nhop).astype(np.float32)
-            blocks[bj] = 0.0 if j < 0 else b
-        self._noise_memo = (i0 + M - 1, blocks[M].copy())
+            blocks[bj] = self._noise_block(j)
         flat = blocks.reshape(-1)
         ins["noise"][:M] = np.lib.stride_tricks.sliding_window_view(
             flat, 2 * nhop)[::nhop][:M]
@@ -451,7 +444,10 @@ class RTSynthesizer:
             cyc[j] = c
             c = (c + 0.5 * (f0c[j] + f0n[j]) * conf.thop) % 1.0
         self._cycles = c
-        phse = np.stack([g["phse"] for g in grp[:M]])
+        # cast BEFORE adding the f64 ramp: the per-frame path casts phse
+        # to f32 first, and bit-identity must hold for f64 user dicts too
+        phse = np.stack([g["phse"] for g in grp[:M]]).astype(np.float32,
+                                                             copy=False)
         if self.phase_mode == "propagate":
             kh = np.arange(1, K + 1)
             ramp = (2.0 * np.pi) * ((kh[None, :] * cyc[:, None]) % 1.0)
