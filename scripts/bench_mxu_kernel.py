@@ -20,12 +20,8 @@ def main(frames=12800, repeats=8, iters=3, variants="mxu_hi,mxu_def,rot"):
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from libllsm2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op on CPU (cross-machine AOT risk)
 
     from libllsm2_tpu.config import ChunkConf
     from libllsm2_tpu.ops import harmonics

@@ -25,12 +25,8 @@ def main(batch=32, repeats=8, iters=3, cpu=0):
 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from libllsm2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op on CPU (cross-machine AOT risk)
 
     R = int(repeats)
     nx = 128000          # 8 s at 16 kHz

@@ -28,12 +28,8 @@ def main(streams=64, block=16, ticks=30, platform=""):
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from libllsm2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op on CPU (cross-machine AOT risk)
     if platform:
         jax.config.update("jax_platforms", platform)
 

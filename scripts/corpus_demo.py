@@ -20,12 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(n_utts=1000, batch=64, pallas=1):
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from libllsm2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op on CPU (cross-machine AOT risk)
 
     from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
     from libllsm2_tpu.parallel import corpus

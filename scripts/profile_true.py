@@ -26,12 +26,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
     if cpu:
         # sitecustomize's axon.register overrides JAX_PLATFORMS; this wins
         jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from libllsm2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op on CPU (cross-machine AOT risk)
 
     from libllsm2_tpu import ChunkConf, create_aoptions, create_soptions
     from libllsm2_tpu.models import layer0
