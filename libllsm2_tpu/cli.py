@@ -12,7 +12,7 @@ demo binaries, SURVEY.md section 4):
   python -m libllsm2_tpu.cli morph a.wav b.wav out.wav --t 0.5
   python -m libllsm2_tpu.cli concat a.wav b.wav out.wav --xf 8
   python -m libllsm2_tpu.cli pbp in.wav out.wav [--rd 1.8]
-  python -m libllsm2_tpu.cli code in.wav out.npz / decode in.npz out.wav
+  python -m libllsm2_tpu.cli code in.wav out.npz [--bits 8|16] / decode in.npz out.wav
   python -m libllsm2_tpu.cli track-f0 in.wav out.txt
 
 All commands run F0 tracking internally (no external tracker needed) and
@@ -169,6 +169,10 @@ def main(argv=None):
         p.add_argument("--denoise", type=float, default=0.0, metavar="HZ",
                        help="harmonic-track lowpass cutoff for breathy "
                             "recordings (try 30; smears fast dynamics)")
+        p.add_argument("--bits", type=int, default=0, choices=(0, 8, 16),
+                       help="code: write QUANTIZED coder vectors instead "
+                            "of the full chunk (8 = 4x smaller, "
+                            "parameter-faithful; 16 = render-transparent)")
         p.add_argument("--batch-size", type=int, default=16,
                        help="batch: utterances per device dispatch")
         p.add_argument("--audio-dir", default=None,
@@ -194,7 +198,14 @@ def main(argv=None):
         return
 
     if args.cmd == "decode":
-        chunk = serialize.chunk_load(args.input)
+        with np.load(args.input) as z:
+            coded = "__coded__" in z.files
+        if coded:
+            from .models import coder as coder_mod
+            cc, v = serialize.coded_load(args.input)
+            chunk = coder_mod.decode(cc, v)
+        else:
+            chunk = serialize.chunk_load(args.input)
         sopt = create_soptions(fs=args.fs_out or chunk.conf.fs,
                                noise_seed=args.seed)
         out = layer0.synthesize(sopt, chunk)
@@ -247,8 +258,16 @@ def main(argv=None):
         out = pbp.pbp_synthesize(sopt, l1)
     elif args.cmd == "code":
         l1 = layer1.chunk_to_layer1(chunk)
-        serialize.chunk_save(args.output, l1)
-        print(f"encoded {l1.nfrm} frames -> {args.output}")
+        if args.bits:
+            from .models import coder as coder_mod
+            cc = coder_mod.CoderConfig(conf=l1.conf)
+            v = np.asarray(coder_mod.encode(cc, l1))
+            serialize.coded_save(args.output, cc, v, bits=args.bits)
+            print(f"encoded {l1.nfrm} frames at {args.bits} bits/slot "
+                  f"-> {args.output}")
+        else:
+            serialize.chunk_save(args.output, l1)
+            print(f"encoded {l1.nfrm} frames -> {args.output}")
         return
     else:
         ap.error(f"unknown command {args.cmd}")

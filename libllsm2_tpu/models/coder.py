@@ -161,6 +161,58 @@ def decode_frames(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     return layer1.chunk_to_layer0(decode_layer1(coder, vectors))
 
 
+@dataclasses.dataclass(frozen=True)
+class Quantizer:
+    """Per-slot affine integer quantizer for coder vectors (host-side
+    numpy).  The reference stores coder vectors as raw FP_TYPE; for
+    transmission/storage the rebuild adds an int8/int16 transport:
+    code = round((v - lo) / step), v' = lo + code * step, with per-slot
+    [lo, hi] fitted from data (robust percentiles so a single outlier
+    frame cannot blow up every slot's step size).
+
+    Slots that contain exact zeros (the F0 slot's unvoiced frames --
+    the voiced/unvoiced DECISION) get lo forced to 0.0 so that 0
+    round-trips bit-exactly and voicing is preserved."""
+    lo: "object"           # np.ndarray [dims] float32
+    hi: "object"           # np.ndarray [dims] float32
+    bits: int = 8
+
+    @property
+    def step(self):
+        import numpy as np
+        levels = (1 << self.bits) - 1
+        return np.maximum(self.hi - self.lo, 1e-12) / levels
+
+
+def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1) -> Quantizer:
+    """Fit per-slot ranges on a reference set of encoded vectors
+    ([N, dims] or [B, N, dims])."""
+    import numpy as np
+    v = np.asarray(vectors, np.float32).reshape(-1, vectors.shape[-1])
+    lo = np.percentile(v, pct, axis=0).astype(np.float32)
+    hi = np.percentile(v, 100.0 - pct, axis=0).astype(np.float32)
+    has_zero = (v == 0.0).mean(axis=0) > 0.001
+    lo = np.where(has_zero & (lo > 0.0), 0.0, lo)
+    hi = np.maximum(hi, lo + 1e-6)
+    return Quantizer(lo=lo, hi=hi, bits=int(bits))
+
+
+def quantize(q: Quantizer, vectors):
+    """[..., dims] float -> uint8/uint16 codes (saturating)."""
+    import numpy as np
+    v = np.asarray(vectors, np.float32)
+    levels = (1 << q.bits) - 1
+    codes = np.round((np.clip(v, q.lo, q.hi) - q.lo) / q.step)
+    return codes.astype(np.uint8 if q.bits <= 8 else np.uint16)
+
+
+def dequantize(q: Quantizer, codes):
+    """Codes -> float32 vectors (feedable to decode/decode_frames)."""
+    import numpy as np
+    return (q.lo + np.asarray(codes, np.float32) * q.step).astype(
+        np.float32)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def decode(coder: CoderConfig, vectors: jnp.ndarray) -> Chunk:
     """[nfrm, dims] vectors -> layer-0 chunk ready for llsm_synthesize

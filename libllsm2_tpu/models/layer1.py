@@ -35,6 +35,12 @@ from ..ops import interp, lf, spectral
 
 SPEED_OF_SOUND = 343.0
 RD_GRID_SIZE = 64
+RD_SRC_ROWS = 513   # Rd axis for _source_at_harmonics: the LF phase
+                    # moves steeply (but smoothly) with Rd near the
+                    # source spectrum's nulls; vs direct lf_spectrum
+                    # evaluation the 64-row fit grid interpolates with
+                    # up to 0.29 rad error, 513 rows with 0.011 rad
+                    # (tests/test_layer1.py source-table oracle)
 RD_MIN, RD_MAX = 0.1, 3.0
 RD_FIT_HARMONICS = 10
 LOG_FLOOR = -23.0  # ~ -200 dB
@@ -46,27 +52,44 @@ def _rd_grid():
 
 
 @functools.lru_cache(maxsize=8)
-def _source_tables(max_k: int):
-    """Precompute, for the static Rd grid, the LF source log-magnitude and
-    phase at normalized harmonic frequencies 1..max_k, normalized so the
-    fundamental has unit magnitude.  Returns numpy constants ([G],
-    [G, K] logmag, [G, K] phase).
+def _source_tables(max_k: int, rows: int = RD_GRID_SIZE):
+    """Precompute, for a static log-spaced Rd grid of `rows` points, the
+    LF source log-magnitude and phase at normalized harmonic frequencies
+    1..max_k, normalized so the fundamental has unit magnitude.  Returns
+    numpy constants ([rows], [rows, K] logmag, [rows, K] phase).
+
+    The phase table is UNWRAPPED along the Rd axis: _source_at_harmonics
+    interpolates between grid rows, and interpolating wrapped angles
+    across a +-pi boundary sweeps through garbage intermediate values --
+    measured as up to 1.1 rad of phase error at isolated (frame, k)
+    pairs for a 0.001 Rd perturbation, i.e. any off-grid Rd (every
+    parabolic-refined fit, every decoded/edited Rd) got corrupted
+    harmonic phases wherever the LF phase crossed a wrap.  (Layer-1
+    ROUND TRIPS never showed it: vsphse absorbs the same wrong table
+    value and tolayer0 adds it back.)  The unwrap runs on a 16x-fine
+    intermediate grid so adjacent steps stay well under pi even at high
+    k, then samples every 16th row; consumers re-wrap at the end.
 
     ensure_compile_time_eval + numpy materialization keep the cached
     tables trace-free even when first requested inside a jit trace (they
     embed as constants in every downstream program)."""
     import numpy as np
+    FINE = max(1, 1024 // (rows - 1))   # unwrap on >= ~1024 intervals
     with jax.ensure_compile_time_eval():
-        grid = _rd_grid()
-        params = lf.lf_from_rd(grid)                   # batched over G
+        gf = jnp.exp(jnp.linspace(jnp.log(RD_MIN), jnp.log(RD_MAX),
+                                  FINE * (rows - 1) + 1)).astype(FP)
+        params = lf.lf_from_rd(gf)                     # batched over Gf
         f_norm = jnp.arange(1, max_k + 1, dtype=FP)
         spec = lf.lf_spectrum(f_norm[None, :], jax.tree.map(
-            lambda a: a[:, None], params))             # [G, K]
+            lambda a: a[:, None], params))             # [Gf, K]
         mag0 = jnp.abs(spec[:, :1])
         spec = spec / jnp.maximum(mag0, 1e-12)
         logmag = jnp.log(jnp.maximum(jnp.abs(spec), 1e-12))
         phase = jnp.angle(spec)
-    return (np.asarray(grid), np.asarray(logmag), np.asarray(phase))
+    phase = np.unwrap(np.asarray(phase), axis=0)[::FINE]
+    grid = np.exp(np.linspace(np.log(RD_MIN), np.log(RD_MAX),
+                              rows)).astype(np.float32)
+    return (grid, np.asarray(logmag)[::FINE], phase)
 
 
 def lip_radiation_logmag(f, lip_radius: float):
@@ -225,11 +248,11 @@ def _source_at_harmonics(rd: jnp.ndarray, max_k: int):
     """Interpolate the precomputed Rd tables at per-frame rd values
     (clamped into the grid: rd <= 0 from an upstream ML model must not
     NaN the log).  Returns (logmag [N, K], phase [N, K])."""
-    grid, src_logmag, src_phase = _source_tables(max_k)
+    grid, src_logmag, src_phase = _source_tables(max_k, rows=RD_SRC_ROWS)
     rd = jnp.clip(rd, RD_MIN, RD_MAX)
     pos = (jnp.log(rd) - jnp.log(grid[0])) / (
-        jnp.log(grid[-1]) - jnp.log(grid[0])) * (RD_GRID_SIZE - 1)
-    pos = jnp.clip(pos, 0.0, RD_GRID_SIZE - 1.0)
+        jnp.log(grid[-1]) - jnp.log(grid[0])) * (RD_SRC_ROWS - 1)
+    pos = jnp.clip(pos, 0.0, RD_SRC_ROWS - 1.0)
     lm = jax.vmap(lambda p: interp.interp1_uniform(src_logmag.T, p),
                   in_axes=0)(pos)
     ph = jax.vmap(lambda p: interp.interp1_uniform(src_phase.T, p),

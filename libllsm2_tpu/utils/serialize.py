@@ -72,3 +72,43 @@ def chunk_load_orbax(path: str) -> Chunk:
     kw = {n: (jnp.asarray(data[n]) if n in data else None)
           for n in _ARRAY_FIELDS}
     return Chunk(conf=conf, **kw)
+
+
+def coded_save(path: str, cc, vectors, bits: int = 8,
+               quant=None) -> None:
+    """Save coder vectors as a compact quantized archive (the storage /
+    transmission form of the coder's fixed-width vectors; the reference
+    leaves serialization to the caller -- SURVEY.md section 5).
+
+    cc: models.coder.CoderConfig; vectors: [N, cc.dims] float encodes.
+    bits: 8 (4x smaller than float32, render-transparent to ~30+ dB) or
+    16 (near-lossless).  Pass a prefitted models.coder.Quantizer to
+    share one codebook across many files (recommended for a corpus:
+    per-file ranges would make files non-interchangeable)."""
+    from ..models import coder as coder_mod
+
+    v = np.asarray(vectors, np.float32)
+    q = quant or coder_mod.fit_quantizer(v, bits=bits)
+    codes = coder_mod.quantize(q, v)
+    meta = {"conf": dataclasses.asdict(cc.conf), "nvt": cc.nvt,
+            "npsd_c": cc.npsd_c, "with_phase": cc.with_phase,
+            "bits": q.bits}
+    np.savez(path, __coded__=np.frombuffer(json.dumps(meta).encode(),
+                                           np.uint8),
+             codes=codes, lo=np.asarray(q.lo), hi=np.asarray(q.hi))
+
+
+def coded_load(path: str):
+    """Load a coded_save archive -> (CoderConfig, vectors float32).
+    The vectors feed models.coder.decode / decode_frames directly."""
+    from ..models import coder as coder_mod
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__coded__"]).decode())
+    conf_dict = meta["conf"]
+    conf_dict["chanfreq"] = tuple(conf_dict["chanfreq"])
+    cc = coder_mod.CoderConfig(conf=ChunkConf(**conf_dict),
+                               nvt=meta["nvt"], npsd_c=meta["npsd_c"],
+                               with_phase=meta["with_phase"])
+    q = coder_mod.Quantizer(lo=z["lo"], hi=z["hi"], bits=meta["bits"])
+    return cc, coder_mod.dequantize(q, z["codes"])

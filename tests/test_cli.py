@@ -65,6 +65,20 @@ def test_cli_code_decode(wav):
     assert float(np.std(y)) > 1e-3
 
 
+def test_cli_code_decode_quantized(wav):
+    """--bits 8 writes the quantized coder-vector archive (4x smaller
+    than the float chunk) and decode sniffs the format."""
+    p, d = wav
+    npz = os.path.join(d, "cq.npz")
+    out = os.path.join(d, "decq.wav")
+    cli.main(["code", p, npz, "--bits", "8"])
+    with np.load(npz) as z:
+        assert "__coded__" in z.files and z["codes"].dtype == np.uint8
+    cli.main(["decode", npz, out])
+    _, y = _dur(out)
+    assert float(np.std(y)) > 1e-3
+
+
 def test_cli_batch_report(wav):
     p, d = wav
     bdir = os.path.join(d, "batchin")       # isolated from the other

@@ -190,3 +190,59 @@ def test_decode_random_vectors_never_nan(l1chunk):
         v = (scale * rng.standard_normal((30, cc.dims))).astype(np.float32)
         y = np.asarray(layer0.synthesize(sopt, coder.decode(cc, v)).y)
         assert np.all(np.isfinite(y)), scale
+
+
+def test_quantized_transport_roundtrip(l1chunk, tmp_path):
+    """Int quantization of coder vectors (storage/transmission form) +
+    the coded_save/coded_load archive.  16-bit is render-transparent;
+    8-bit is parameter-faithful (exact voicing decision, sub-percent F0,
+    percent-level amplitudes) but phase-detail lossy: the render's LF
+    pulse shape is steeply sensitive to Rd near the source-spectrum
+    nulls, so waveform SNR is not the fidelity metric at 8 bits."""
+    from libllsm2_tpu import create_soptions
+    from libllsm2_tpu.models import layer0 as l0
+    from libllsm2_tpu.utils import serialize
+
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = np.asarray(coder.encode(cc, l1))
+    sopt = create_soptions()
+    y0 = np.asarray(l0.synthesize(sopt, coder.decode(cc, v)).y_sin)
+
+    def render_snr(vq):
+        yq = np.asarray(l0.synthesize(sopt,
+                                      coder.decode(cc, np.asarray(vq))).y_sin)
+        n = min(len(y0), len(yq))
+        lo, hi = int(0.05 * n), int(0.95 * n)
+        num = np.sum(y0[lo:hi] ** 2)
+        den = np.sum((y0[lo:hi] - yq[lo:hi]) ** 2)
+        return 10.0 * np.log10(num / max(den, 1e-12))
+
+    # 16-bit: render-transparent
+    q16 = coder.fit_quantizer(v, bits=16)
+    v16 = coder.dequantize(q16, coder.quantize(q16, v))
+    assert render_snr(v16) > 45.0
+
+    # 8-bit: voicing exact, parameters faithful
+    q8 = coder.fit_quantizer(v, bits=8)
+    v8 = coder.dequantize(q8, coder.quantize(q8, v))
+    assert np.array_equal(v8[:, 0] == 0.0, v[:, 0] == 0.0)   # voicing
+    voiced = v[:, 0] > 0
+    assert np.abs(v8[voiced, 0] - v[voiced, 0]).max() \
+        / v[voiced, 0].min() < 0.005                          # F0
+    c_f, c_q = coder.decode(cc, v), coder.decode(cc, np.asarray(v8))
+    m = np.asarray(c_f.hm_mask) > 0
+    a_f, a_q = np.asarray(c_f.ampl)[m], np.asarray(c_q.ampl)[m]
+    rel = np.abs(a_q - a_f) / np.maximum(a_f, 1e-6)
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert render_snr(v8) > 8.0
+
+    # archive round trip: 4x smaller than float32, loads bit-equal to
+    # the direct dequantization
+    path = str(tmp_path / "utt.llsm.npz")
+    serialize.coded_save(path, cc, v, bits=8, quant=q8)
+    cc2, v2 = serialize.coded_load(path)
+    assert cc2.dims == cc.dims
+    np.testing.assert_array_equal(v2, v8)
+    import os
+    assert os.path.getsize(path) < 0.5 * v.nbytes

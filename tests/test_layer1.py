@@ -157,3 +157,61 @@ class TestNfftArgument:
         a1 = np.asarray(back.ampl)[m]
         err = np.abs(a1 - a0) / np.maximum(np.abs(a0), 1e-5)
         assert np.median(err) < 0.05
+
+
+class TestSourceTableFidelity:
+    """The Rd-gridded LF source tables vs DIRECT lf_spectrum evaluation
+    at off-grid Rd values.  Round 3 session 6 bug: the phase table was
+    interpolated WRAPPED, so crossing a +-pi boundary between grid rows
+    swept through garbage -- up to 1.1 rad of harmonic-phase error for a
+    0.001 Rd perturbation on decoded chunks.  Layer-1 round trips never
+    saw it (vsphse absorbs the same wrong value and tolayer0 adds it
+    back); every off-grid-Rd consumer did: coder decode (vsphse = 0),
+    Rd edits, ML-decoded vectors.  Pinned here against ground truth."""
+
+    def test_table_matches_direct_lf_spectrum(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from libllsm2_tpu.models import layer1
+        from libllsm2_tpu.ops import lf
+
+        rng = np.random.default_rng(0)
+        rd = np.asarray(np.exp(rng.uniform(np.log(0.12), np.log(2.9), 64)),
+                        np.float32)
+        K = 80
+        lm_t, ph_t = layer1._source_at_harmonics(jnp.asarray(rd), K)
+        params = lf.lf_from_rd(jnp.asarray(rd))
+        fk = jnp.arange(1, K + 1, dtype=jnp.float32)
+        spec = lf.lf_spectrum(fk[None, :],
+                              jax.tree.map(lambda a: a[:, None], params))
+        spec = spec / jnp.maximum(jnp.abs(spec[:, :1]), 1e-12)
+        dph = np.angle(np.exp(1j * (np.asarray(ph_t)
+                                    - np.angle(np.asarray(spec)))))
+        assert np.abs(dph).max() < 0.05, np.abs(dph).max()
+        lm_d = np.log(np.maximum(np.abs(np.asarray(spec)), 1e-12))
+        assert np.abs(np.asarray(lm_t) - lm_d).max() < 0.05
+
+    def test_decode_phase_continuity_in_rd(self):
+        """A tiny Rd perturbation must not swing decoded harmonic phases
+        (the user-visible symptom of the wrapped-interpolation bug)."""
+        import numpy as np
+        from libllsm2_tpu import create_aoptions
+        from libllsm2_tpu.models import coder, layer0, layer1
+        from libllsm2_tpu.utils import testsig
+
+        x, f0 = testsig.make_test_utterance(duration=0.4)
+        opt = create_aoptions()
+        l1 = layer1.chunk_to_layer1(layer0.analyze(opt, x, f0))
+        cc = coder.CoderConfig(conf=opt.conf)
+        v = np.asarray(coder.encode(cc, l1))
+        c0 = coder.decode(cc, v)
+        vt = v.copy()
+        vt[:, 1] += 1e-3
+        c1 = coder.decode(cc, np.asarray(vt))
+        m = np.asarray(c0.hm_mask) > 0
+        dp = np.abs(np.angle(np.exp(
+            1j * (np.asarray(c1.phse) - np.asarray(c0.phse)))))[m]
+        # physically the LF phase moves fast near its spectral nulls;
+        # 0.5 rad max headroom (the wrap bug produced > 1.1 rad)
+        assert dp.max() < 0.5, dp.max()
