@@ -167,6 +167,12 @@ def harmonic_analysis(
     # [lo, hi) is each frame's active interval in the buffer
     halfwidth_e = halfwidth if with_dc else jnp.where(voiced, halfwidth, 2.0)
     hw_int = jnp.ceil(halfwidth_e).astype(jnp.int32)
+    # per-frame live-harmonic slot count for the kernel's chunk skip:
+    # ceil(fnyq/f0) >= the mask's slot count under any float rounding
+    # (overcounting only costs work; undercounting would zero a live slot)
+    kl = jnp.where(voiced,
+                   jnp.ceil(fnyq / f0s).astype(jnp.int32),
+                   0)
 
     def per_chunk(args):
         c_centers, c_hw, c_dc = args
@@ -231,15 +237,16 @@ def harmonic_analysis(
         if window in COSINE_SERIES:
             # fused path: window eval + multiply + wsum/DC live inside the
             # kernel, removing three [N, Wf] HBM round trips per pass
-            def project(frames, dcf, hwe, lo_, hi_):
+            def project(frames, dcf, hwe, lo_, hi_, kl_):
                 re, im, wsum, xsum = harmonic_project_win_pallas(
                     dcf, frames, hwe, max_k, lo=lo_, hi=hi_, center=C,
-                    window=window)
+                    window=window, kl=kl_)
                 wsum = jnp.maximum(wsum, 1e-9)
                 a = 2.0 * jnp.sqrt(re**2 + im**2) / wsum[:, None]
                 return a, jnp.arctan2(im, re), xsum / wsum
         else:
-            def project(frames, dcf, hwe, lo_, hi_):
+            def project(frames, dcf, hwe, lo_, hi_, kl_):
+                del kl_
                 w = window_centered(window, noff, hwe[:, None])
                 xw = frames * w
                 re, im = harmonic_project_pallas(dcf, xw, max_k,
@@ -262,6 +269,7 @@ def harmonic_analysis(
             hwe_p = jnp.pad(halfwidth_e, (0, padf), constant_values=2.0)
             lo_p = jnp.pad(lo, (0, padf), constant_values=C)
             hi_p = jnp.pad(hi, (0, padf), constant_values=C)
+            kl_p = jnp.pad(kl, (0, padf))
 
             def pchunk(c0):
                 xs = jax.lax.dynamic_slice(hbx, (c0, 0),
@@ -277,7 +285,8 @@ def harmonic_analysis(
                     fr, dcf,
                     jax.lax.dynamic_slice(hwe_p, (c0,), (FC,)),
                     jax.lax.dynamic_slice(lo_p, (c0,), (FC,)),
-                    jax.lax.dynamic_slice(hi_p, (c0,), (FC,)))
+                    jax.lax.dynamic_slice(hi_p, (c0,), (FC,)),
+                    jax.lax.dynamic_slice(kl_p, (c0,), (FC,)))
 
             ampl, phse, dcv = jax.lax.map(pchunk, jnp.arange(0, nfrm_p, FC))
             ampl = ampl.reshape(-1, max_k)[:N]
@@ -287,14 +296,14 @@ def harmonic_analysis(
             frames = frame_hops(x.astype(FP), N, nhop, hh)
             dcf = frame_hops(cyc, N, nhop, hh, mode="edge") \
                 - cyc_c[:, None]
-            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
+            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi, kl)
         else:
             # non-uniform centers: fall back to gather framing
             xp_g = jnp.pad(x, (H, H + 1)).astype(FP)
             idx = centers[:, None] + jnp.arange(W)[None, :]
             frames = xp_g[idx]
             dcf = cycle_segments(cyc, centers, H)
-            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi)
+            ampl, phse, dcv = project(frames, dcf, halfwidth_e, lo, hi, kl)
     else:
         xp = jnp.pad(x, (H, H + 1)).astype(FP)
         dc_all = cycle_segments(cyc, centers, H)             # [N, W]

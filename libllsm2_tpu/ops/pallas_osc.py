@@ -152,7 +152,7 @@ def osc_bank_pallas(dc: jnp.ndarray, ampl: jnp.ndarray, phse: jnp.ndarray,
     return out[:N]
 
 
-def _proj_win_kernel(lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
+def _proj_win_kernel(klb_ref, lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
                      re_ref, im_ref, ws_ref, xs_ref, *, center, coefs):
     """Fused-window projection grid step (i, jw).
 
@@ -163,7 +163,20 @@ def _proj_win_kernel(lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
     projection pass (window materialization, the xw multiply, and the
     separate wsum reduction) -- the "framing+window bookkeeping" that
     dominated the projection stage beyond the 2.4 ms kernel (round-2
-    profile, docs/STATUS.md)."""
+    profile, docs/STATUS.md).
+
+    LIVE-HARMONIC CHUNK SKIPPING (round 3): only fnyq/f0 harmonic slots
+    are live, so for typical speech F0s the top chunks of the static
+    K-loop compute values the caller masks to zero anyway.  klb gives
+    each frame block's live-slot maximum; the k-loop is a PYTHON-unrolled
+    sequence of KCHUNK-row chunks, each predicated by @pl.when(base <
+    klb[i]) with a STATIC store offset -- a dynamic fori_loop trip count
+    over ref[pl.ds(...)] stores is the measured ~30x Mosaic pitfall this
+    sidesteps (module docstring).  The z^k rotation carry crosses skipped
+    chunks via one unconditional z^KCHUNK multiply per chunk (z^KCHUNK
+    built by squaring), ~6 flops/elem vs the ~8*KCHUNK a live chunk
+    costs.  Skipped rows stay at the jw==0 zero-init; callers mask those
+    slots regardless, so the skip is exact."""
     i = pl.program_id(0)
     jw = pl.program_id(1)
     wblock = dc_ref.shape[1]
@@ -196,22 +209,37 @@ def _proj_win_kernel(lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
         zr = jnp.cos(ang)
         zi = jnp.sin(ang)
         K = re_ref.shape[0]
+        kb = klb_ref[i]
 
-        def chunk(j, carry):
-            wr, wi = carry
-            res, ims = [], []
-            for _ in range(KCHUNK):
-                res.append(jnp.sum(wr * xw, axis=-1))
-                ims.append(-jnp.sum(wi * xw, axis=-1))
-                nwr = wr * zr - wi * zi
-                wi = wr * zi + wi * zr
+        # z^KCHUNK by repeated squaring: the across-chunk carry step
+        zcr, zci = zr, zi
+        nsq = KCHUNK.bit_length() - 1
+        assert (1 << nsq) == KCHUNK, "KCHUNK must be a power of two"
+        for _ in range(nsq):
+            nzcr = zcr * zcr - zci * zci
+            zci = 2.0 * zcr * zci
+            zcr = nzcr
+
+        wr, wi = zr, zi                   # z^1: slot k holds harmonic k+1
+        nchunks = K // KCHUNK
+        for j in range(nchunks):
+
+            @pl.when(j * KCHUNK < kb)
+            def _(j=j, wr=wr, wi=wi):
+                res, ims = [], []
+                for _ in range(KCHUNK):
+                    res.append(jnp.sum(wr * xw, axis=-1))
+                    ims.append(-jnp.sum(wi * xw, axis=-1))
+                    nwr = wr * zr - wi * zi
+                    wi = wr * zi + wi * zr
+                    wr = nwr
+                re_ref[pl.ds(j * KCHUNK, KCHUNK), :] += jnp.stack(res)
+                im_ref[pl.ds(j * KCHUNK, KCHUNK), :] += jnp.stack(ims)
+
+            if j + 1 < nchunks:           # carry across (possibly skipped)
+                nwr = wr * zcr - wi * zci
+                wi = wr * zci + wi * zcr
                 wr = nwr
-            base = pl.multiple_of(j * KCHUNK, KCHUNK)
-            re_ref[pl.ds(base, KCHUNK), :] += jnp.stack(res)
-            im_ref[pl.ds(base, KCHUNK), :] += jnp.stack(ims)
-            return wr, wi
-
-        jax.lax.fori_loop(0, K // KCHUNK, chunk, (zr, zi))
 
 
 @functools.partial(jax.jit, static_argnames=("max_k", "center", "window",
@@ -220,6 +248,7 @@ def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
                                 hw: jnp.ndarray, max_k: int,
                                 lo: jnp.ndarray, hi: jnp.ndarray,
                                 *, center: int, window: str = "hanning",
+                                kl: jnp.ndarray | None = None,
                                 block: int = FRAME_BLOCK,
                                 wblock: int = W_BLOCK):
     """Fused window + projection: returns (re [N,K], im [N,K], wsum [N],
@@ -230,6 +259,9 @@ def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
     Entries of `frames` outside each frame's support need NOT be zeroed
     (the in-kernel window mask handles it); lo/hi give the per-frame
     active interval for whole-block skipping as in harmonic_project_pallas.
+    kl [N] (optional) = per-frame live-harmonic slot count; slots >= the
+    per-block maximum are skipped and returned as EXACT ZEROS (callers
+    must mask those slots anyway -- they do, via the fnyq/voicing mask).
     """
     from .windows import COSINE_SERIES
     coefs = tuple(float(c) for c in COSINE_SERIES[window])
@@ -247,10 +279,14 @@ def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
     nb = Np // block
     lob = _block_min(jnp.clip(lo, 0, W), N, block, fill=W)
     hib = _block_max(jnp.clip(hi, 0, W), N, block, fill=0)
+    if kl is None:
+        klb = jnp.full((nb,), Kp, jnp.int32)
+    else:
+        klb = _block_max(jnp.clip(kl, 0, max_k), N, block, fill=0)
     re, im, ws, xs = pl.pallas_call(
         functools.partial(_proj_win_kernel, center=center, coefs=coefs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nb, Wp // wblock),
             in_specs=[
                 pl.BlockSpec((1, block), lambda i, jw, *_: (0, i)),
@@ -271,7 +307,7 @@ def harmonic_project_win_pallas(dc: jnp.ndarray, frames: jnp.ndarray,
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
         ),
         interpret=_interpret(),
-    )(lob, hib, hwp, dc.astype(jnp.float32), fr.astype(jnp.float32))
+    )(klb, lob, hib, hwp, dc.astype(jnp.float32), fr.astype(jnp.float32))
     return re[:max_k].T[:N], im[:max_k].T[:N], ws[0, :N], xs[0, :N]
 
 

@@ -141,6 +141,51 @@ def test_harmonic_project_win_fused_matches_unfused():
                                    atol=2e-3)
 
 
+def test_harmonic_project_win_kl_skip_is_exact():
+    """Live-harmonic chunk skipping: with kl passed, slots below each
+    frame's own count must be BIT-IDENTICAL to the kl=None call (the skip
+    is whole-chunk predication, not an approximation), and slots at/above
+    the frame-block maximum must come back exactly zero."""
+    rng = np.random.default_rng(21)
+    N, W, K = 70, 300, 24
+    C = W // 2
+    dc = jnp.asarray(rng.uniform(-2, 2, (N, W)), jnp.float32)
+    fr = jnp.asarray(rng.standard_normal((N, W)), jnp.float32)
+    hw = jnp.asarray(rng.uniform(2.0, C, N), jnp.float32)
+    hw_int = jnp.ceil(hw).astype(jnp.int32)
+    lo, hi = C - hw_int, C + hw_int + 1
+    # cap below 2*KCHUNK so the top chunk of K=3*KCHUNK really skips
+    kl = jnp.asarray(rng.integers(0, 2 * pallas_osc.KCHUNK - 2, N),
+                     jnp.int32)
+    re0, im0, ws0, xs0 = pallas_osc.harmonic_project_win_pallas(
+        dc, fr, hw, K, lo=lo, hi=hi, center=C, window="hanning")
+    re1, im1, ws1, xs1 = pallas_osc.harmonic_project_win_pallas(
+        dc, fr, hw, K, lo=lo, hi=hi, center=C, window="hanning", kl=kl)
+    # wsum / windowed-DC rows are outside the k loop: always identical
+    np.testing.assert_array_equal(np.asarray(ws1), np.asarray(ws0))
+    np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xs0))
+    # one shared block (N < FRAME_BLOCK): the block max governs the skip.
+    # Live slots match to float-reassociation noise (the two calls are
+    # separately compiled programs; XLA:CPU orders them differently),
+    # and every slot at/above the rounded-up block max is exactly zero.
+    kb = int(np.asarray(kl).max())
+    kb_chunks = -(-kb // pallas_osc.KCHUNK) * pallas_osc.KCHUNK
+    live = min(kb_chunks, K)
+    assert live < K, "fixture must actually skip a chunk"
+    np.testing.assert_allclose(np.asarray(re1[:, :live]),
+                               np.asarray(re0[:, :live]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(im1[:, :live]),
+                               np.asarray(im0[:, :live]), atol=1e-4)
+    assert not np.any(np.asarray(re1[:, live:]))
+    assert not np.any(np.asarray(im1[:, live:]))
+    # kl = 0 everywhere: every harmonic row zero, DC rows still live
+    reZ, imZ, wsZ, _ = pallas_osc.harmonic_project_win_pallas(
+        dc, fr, hw, K, lo=lo, hi=hi, center=C, window="hanning",
+        kl=jnp.zeros((N,), jnp.int32))
+    assert not np.any(np.asarray(reZ)) and not np.any(np.asarray(imZ))
+    np.testing.assert_array_equal(np.asarray(wsZ), np.asarray(ws0))
+
+
 def test_env_render_pallas_matches_jnp():
     """The fused envelope renderer must match _render_envelopes (the
     frame-structured lerp + rotation-recurrence jnp reference)."""
