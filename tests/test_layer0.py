@@ -187,7 +187,10 @@ def test_track_denoise_default_improves_breathy_input():
     clean-signal damage (see test_track_denoise_clean_noop)."""
     import dataclasses
 
-    for reg, min_gain in (("female", 2.0), ("child", 2.5)):
+    # floors re-raised after the session-5 normal-equation weighting fix
+    # (measured gains 1.6 / 4.9 / 5.8 dB): a regression to the old
+    # Gram-only weighting must not hide under the old 2.0/2.5 floors
+    for reg, min_gain in (("male", 1.0), ("female", 3.5), ("child", 4.0)):
         x, f0, xh = testsig.synth_hard_utterance(
             duration=1.0, register=reg, seed=3, noise_level=0.05)
         sopt = create_soptions()
