@@ -167,12 +167,6 @@ def harmonic_analysis(
     # [lo, hi) is each frame's active interval in the buffer
     halfwidth_e = halfwidth if with_dc else jnp.where(voiced, halfwidth, 2.0)
     hw_int = jnp.ceil(halfwidth_e).astype(jnp.int32)
-    # per-frame live-harmonic slot count for the kernel's chunk skip:
-    # ceil(fnyq/f0) >= the mask's slot count under any float rounding
-    # (overcounting only costs work; undercounting would zero a live slot)
-    kl = jnp.where(voiced,
-                   jnp.ceil(fnyq / f0s).astype(jnp.int32),
-                   0)
 
     def per_chunk(args):
         c_centers, c_hw, c_dc = args
@@ -233,6 +227,11 @@ def harmonic_analysis(
         lo = C - hw_int
         hi = C + hw_int + 1
         cyc_c = cyc[centers]                                  # [N] (tiny)
+        # per-frame live-harmonic slot count for the kernel's chunk skip:
+        # ceil(fnyq/f0) >= the mask's slot count under any float rounding
+        # (overcounting only costs work; undercounting would zero a live
+        # slot); consumed only by the fused cosine-series kernel
+        kl = jnp.where(voiced, jnp.ceil(fnyq / f0s).astype(jnp.int32), 0)
 
         if window in COSINE_SERIES:
             # fused path: window eval + multiply + wsum/DC live inside the

@@ -176,7 +176,14 @@ def _proj_win_kernel(klb_ref, lob_ref, hib_ref, hw_ref, dc_ref, fr_ref,
     chunks via one unconditional z^KCHUNK multiply per chunk (z^KCHUNK
     built by squaring), ~6 flops/elem vs the ~8*KCHUNK a live chunk
     costs.  Skipped rows stay at the jw==0 zero-init; callers mask those
-    slots regardless, so the skip is exact."""
+    slots regardless, so the skip is exact.
+
+    Rounding note: the squared z^KCHUNK carry changed the rounding of the
+    ACROSS-chunk recurrence for ALL callers (including kl=None) relative
+    to the pre-skip kernel, which carried the value after KCHUNK
+    sequential rotation multiplies -- so bit-exactness regressions must
+    not be written against pre-change outputs (covered by the
+    fused-vs-unfused atol=2e-3 equality test)."""
     i = pl.program_id(0)
     jw = pl.program_id(1)
     wblock = dc_ref.shape[1]

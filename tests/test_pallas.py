@@ -143,8 +143,9 @@ def test_harmonic_project_win_fused_matches_unfused():
 
 def test_harmonic_project_win_kl_skip_is_exact():
     """Live-harmonic chunk skipping: with kl passed, slots below each
-    frame's own count must be BIT-IDENTICAL to the kl=None call (the skip
-    is whole-chunk predication, not an approximation), and slots at/above
+    frame's own count must match the kl=None call to float-reassociation
+    noise (the skip is whole-chunk predication, not an approximation, but
+    the two calls are separately compiled programs), and slots at/above
     the frame-block maximum must come back exactly zero."""
     rng = np.random.default_rng(21)
     N, W, K = 70, 300, 24
@@ -184,6 +185,46 @@ def test_harmonic_project_win_kl_skip_is_exact():
         kl=jnp.zeros((N,), jnp.int32))
     assert not np.any(np.asarray(reZ)) and not np.any(np.asarray(imZ))
     np.testing.assert_array_equal(np.asarray(wsZ), np.asarray(ws0))
+
+
+def test_harmonic_project_win_kl_skip_multi_block():
+    """N > FRAME_BLOCK with a different kl maximum per frame block: each
+    block's skip must be governed by its OWN rounded-up max (live slots
+    match the kl=None call; slots at/above the block max are exact
+    zeros), not by the global max."""
+    rng = np.random.default_rng(33)
+    FB, KC = pallas_osc.FRAME_BLOCK, pallas_osc.KCHUNK
+    N, W, K = FB + 60, 300, 4 * KC
+    C = W // 2
+    dc = jnp.asarray(rng.uniform(-2, 2, (N, W)), jnp.float32)
+    fr = jnp.asarray(rng.standard_normal((N, W)), jnp.float32)
+    hw = jnp.asarray(rng.uniform(2.0, C, N), jnp.float32)
+    hw_int = jnp.ceil(hw).astype(jnp.int32)
+    lo, hi = C - hw_int, C + hw_int + 1
+    # block 0: maxima just under 3*KCHUNK (skips the top chunk);
+    # block 1: maxima just under KCHUNK (skips the top three chunks)
+    kl_np = np.concatenate([
+        rng.integers(1, 3 * KC - 1, FB), rng.integers(1, KC - 1, N - FB),
+    ]).astype(np.int32)
+    kl = jnp.asarray(kl_np)
+    re0, im0, _, _ = pallas_osc.harmonic_project_win_pallas(
+        dc, fr, hw, K, lo=lo, hi=hi, center=C, window="hanning")
+    re1, im1, _, _ = pallas_osc.harmonic_project_win_pallas(
+        dc, fr, hw, K, lo=lo, hi=hi, center=C, window="hanning", kl=kl)
+    re0, im0 = np.asarray(re0), np.asarray(im0)
+    re1, im1 = np.asarray(re1), np.asarray(im1)
+    for b, (blo, bhi) in enumerate([(0, FB), (FB, N)]):
+        kb = int(kl_np[blo:bhi].max())
+        live = -(-kb // KC) * KC
+        assert live < K, "fixture must skip at least one chunk per block"
+        np.testing.assert_allclose(re1[blo:bhi, :live], re0[blo:bhi, :live],
+                                   atol=1e-4)
+        np.testing.assert_allclose(im1[blo:bhi, :live], im0[blo:bhi, :live],
+                                   atol=1e-4)
+        assert not np.any(re1[blo:bhi, live:]), f"block {b} live rows leak"
+        assert not np.any(im1[blo:bhi, live:]), f"block {b} live rows leak"
+    # the two blocks genuinely differ in live-chunk count
+    assert (-(-int(kl_np[:FB].max()) // KC)) > (-(-int(kl_np[FB:].max()) // KC))
 
 
 def test_env_render_pallas_matches_jnp():
