@@ -206,6 +206,28 @@ class AnalysisOptions:
                                  # disengages first); measured bench SNR
                                  # rises monotonically to ~12 and is
                                  # near-saturated at 8.
+    track_denoise_spectral: bool = True
+                                 # gate the denoiser per FRAME-FREQUENCY
+                                 # BIN (FFT along frames) instead of per
+                                 # frame: noise between the sparse true
+                                 # track-spectrum peaks is removed even
+                                 # inside the slow band the per-frame
+                                 # gate must leave untouched.  Engages
+                                 # ONLY on tracks whose guarded noise
+                                 # floor v is nonzero (clean tracks are
+                                 # untouched -- the protection the
+                                 # rejected round-2 per-bin Wiener
+                                 # lacked); measured +2.7 dB over the
+                                 # per-frame gate on the bench fixtures,
+                                 # oracle bound ~40.9 dB
+                                 # (scripts/headroom.py).
+    track_spectral_strength: float = 3.0
+                                 # spectral-subtraction factor for the
+                                 # per-bin gate, in units of the
+                                 # f-domain probe-band noise level
+                                 # (self-calibrated per track).  Measured
+                                 # optimum ~3 on the bench fixtures; the
+                                 # curve is flat between 2 and 4.
     track_lowpass_hz: float = 0.0
                                  # > 0: lowpass each harmonic's
                                  # phase-aligned complex amplitude track at

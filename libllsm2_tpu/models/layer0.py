@@ -344,9 +344,90 @@ def _denoise_floor_stats(pp, cs2_m, r2, amp2_m, ok):
     return v, wmul
 
 
+def _spectral_gate(c_s, r_inc, guard, v, mask, thop: float,
+                   cutoff_hz: float, a_spec: float):
+    """Per-frame-frequency-bin noise gate on the SLOW track component
+    (AnalysisOptions.track_denoise_spectral).
+
+    The per-frame time gate cannot touch the slow band (< cutoff_hz):
+    real dynamics live there.  But the true slow track spectrum is
+    SPARSE in frame frequency (a DC peak plus vibrato/shimmer harmonics)
+    while the projection-window-lowpassed noise is spread across all
+    bins -- the oracle-headroom experiment (scripts/headroom.py) shows
+    ~4 dB of the remaining gap lives between those peaks.  So: FFT each
+    track's slow part c_s along frames, estimate its noise level from
+    the f-domain probe band of the FULL track (|f| > 2*cutoff, where the
+    time-domain floor v already proved the track noisy), extrapolate
+    across bins with a noise-shape profile measured from the noisy
+    tracks themselves (Winsorized weighted mean -- the shape is the
+    window response x FIR response, common to all k), and
+    spectral-subtract per bin.
+
+    Gating ONLY c_s (the fast residual keeps the per-frame time gate)
+    preserves the time gate's clean-fixture safety: broadband TRUE fast
+    dynamics (jitter/shimmer) are spectrally indistinguishable from
+    noise, but in the time domain they are impulsive and pass the
+    power-ratio gate -- a full-spectrum per-bin gate measurably shaved
+    them (clean-stressed no-op violated by 0.36 dB).  Tracks with
+    v == 0 (clean by the guarded time-domain statistics) are not gated
+    at all -- the protection whose absence killed the round-2 per-bin
+    Wiener attempt (config.py track_lowpass_hz note).
+
+    c_s, r_inc: [N, K] complex slow part / post-fit fast residual.
+    guard: [N, 1] bool.  v: [K] guarded floor (0 = clean/unknown).
+    Returns the gated slow part (unguarded rows returned as-is).
+    """
+    import numpy as _np
+
+    N, K = c_s.shape
+    NP = 1 << max(int(N - 1).bit_length(), 4)
+    f_np = _np.fft.fftfreq(NP, thop)
+    hb = jnp.asarray(_np.abs(f_np) > 2.0 * cutoff_hz)       # [NP] static
+    nhb = float(max((_np.abs(f_np) > 2.0 * cutoff_hz).sum(), 1))
+
+    sg = jnp.where(guard, c_s, 0.0)
+    Xs = jnp.fft.fft(sg, n=NP, axis=0)                      # [NP, K]
+    Xfull = Xs + jnp.fft.fft(jnp.where(guard, r_inc, 0.0), n=NP, axis=0)
+    Pfull = Xfull.real**2 + Xfull.imag**2
+    Ps = Xs.real**2 + Xs.imag**2
+    lev_k = jnp.sum(jnp.where(hb[:, None], Pfull, 0.0), axis=0) / nhb
+    # spectral engagement is STRICTER than the time gate's (-35 dB
+    # relative): the floor v on clean-but-stressed tracks is residual
+    # TRUE dynamics (coherence-fit mismatch of jitter/shimmer), and
+    # subtracting it from the slow band shaves real content.  Measured
+    # separation: clean-stressed tracks sit at v/p_bar <= -16.8 dB
+    # (occasional weak-track outliers), noisy-fixture tracks at medians
+    # -11..+4 dB -- the -15 dB threshold plus the >= 3-track profile
+    # guard below disengages every clean fixture in the hard-fixture
+    # grid while keeping the noisy gains.
+    gd = guard & (mask > 0)
+    n_gd = jnp.maximum(jnp.sum(gd, axis=0), 1.0)
+    p_bar = jnp.sum(jnp.where(gd, c_s.real**2 + c_s.imag**2, 0.0),
+                    axis=0) / n_gd
+    engaged = (v > 10.0**-1.5 * p_bar) & mask.any(axis=0)   # [K]
+    wk = engaged.astype(FP)
+    wsum = jnp.maximum(jnp.sum(wk), 1e-9)
+    lev_safe = jnp.where(engaged, jnp.maximum(lev_k, 1e-30), 1.0)
+    pn = Ps / lev_safe[None, :]
+    prof = jnp.sum(pn * wk[None, :], axis=1) / wsum         # [NP]
+    for _ in range(3):                                      # Winsorize
+        cl = jnp.minimum(pn, 3.0 * prof[:, None])
+        prof = jnp.sum(cl * wk[None, :], axis=1) / wsum
+    sm = 15                                                 # circular MA
+    prof = sum(jnp.roll(prof, j - sm // 2) for j in range(sm)) / sm
+    nf = lev_k[None, :] * prof[:, None]                     # [NP, K]
+    g = jnp.clip(1.0 - a_spec * nf / (Ps + 1e-30), 0.0, 1.0)
+    # need >= 3 noisy tracks for a usable shape profile; and never touch
+    # tracks the time-domain guards called clean
+    g = jnp.where((jnp.sum(wk) >= 3.0) & engaged[None, :], g, 1.0)
+    s_dn = jnp.fft.ifft(g * Xs, axis=0)[:N]
+    return jnp.where(guard, s_dn, c_s)
+
+
 def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                    cutoff_hz: float, strength: float,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, spectral: bool = False,
+                   a_spec: float = 3.0):
     """Default-on dynamics-adaptive harmonic-track denoiser
     (AnalysisOptions.track_denoise).
 
@@ -381,6 +462,8 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     voiced = (f0 > 0).astype(FP)
     m = mask.astype(FP)
 
+    kh = jnp.arange(1, K + 1, dtype=FP)[None, :]
+
     if use_pallas:
         # fully fused two-pass form (ops.pallas_osc): pass A reads the
         # chunk fields ONCE and emits the probe power / slow-track power
@@ -401,68 +484,79 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         ok = guard_v[:, None] & (m > 0)
         v, wmul = _denoise_floor_stats(pp, cs2 * m, r2, ampl * ampl * m,
                                        ok)
-        re, im = denoise_apply_pallas(cre, cim, csr, csi, cyc_c, m,
-                                      guard_v, v, wmul, float(strength))
-        return (jnp.sqrt(re * re + im * im) * mask,
-                jnp.arctan2(im, re) * mask)
+        if not spectral:
+            re, im = denoise_apply_pallas(cre, cim, csr, csi, cyc_c, m,
+                                          guard_v, v, wmul,
+                                          float(strength))
+            return (jnp.sqrt(re * re + im * im) * mask,
+                    jnp.arctan2(im, re) * mask)
+        # spectral mode: pass B's weighted fit runs in jnp (the FFT gate
+        # cannot live in Mosaic); pass A's fused FIRs are still reused
+        ph = kh * cyc_c[:, None]
+        ph = ph - jnp.round(ph)
+        align = jnp.exp(-2j * jnp.pi * ph)
+        c = cre + 1j * cim
+        c_s = csr + 1j * csi
+        guard = guard_v[:, None]
+    else:
+        c, align = _aligned_track(ampl, phse, cyc, centers)
+        w = jnp.asarray(w_np, FP)
+        h = M // 2
 
-    c, align = _aligned_track(ampl, phse, cyc, centers)
-    w = jnp.asarray(w_np, FP)
-    h = M // 2
+        def fir(v):
+            out = jnp.zeros_like(v)
+            for j in range(M):
+                out = out + w[j] * _shift_rows(v, j - h, N)
+            return out
 
-    def fir(v):
-        out = jnp.zeros_like(v)
-        for j in range(M):
-            out = out + w[j] * _shift_rows(v, j - h, N)
-        return out
+        c_s = fir(c)
+        guard = fir(voiced[:, None]) > 0.999            # [N, 1]
+        r = c - c_s
 
-    c_s = fir(c)
-    guard = fir(voiced[:, None]) > 0.999            # [N, 1]
-    r = c - c_s
+        # coherent across-k fit r ~ (m0 + m1*k) * c_s, weighted by
+        # |c_s|^2
+        p = (c_s.real**2 + c_s.imag**2) * m
+        cr = jnp.conj(c_s) * r * m
+        a00 = jnp.sum(p, axis=1)
+        a01 = jnp.sum(kh * p, axis=1)
+        a11 = jnp.sum(kh * kh * p, axis=1)
+        b0 = jnp.sum(cr, axis=1)
+        b1 = jnp.sum(kh * cr, axis=1)
+        det = a00 * a11 - a01 * a01
+        ridge = 1e-5 * a00 * a11 + 1e-12
+        m0 = (a11 * b0 - a01 * b1) / (det + ridge)
+        m1 = (a00 * b1 - a01 * b0) / (det + ridge)
+        r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
+        r_inc = r - r_coh
 
-    # coherent across-k fit r ~ (m0 + m1*k) * c_s, weighted by |c_s|^2
-    kh = jnp.arange(1, K + 1, dtype=FP)[None, :]
-    m = mask.astype(FP)
-    p = (c_s.real**2 + c_s.imag**2) * m
-    cr = jnp.conj(c_s) * r * m
-    a00 = jnp.sum(p, axis=1)
-    a01 = jnp.sum(kh * p, axis=1)
-    a11 = jnp.sum(kh * kh * p, axis=1)
-    b0 = jnp.sum(cr, axis=1)
-    b1 = jnp.sum(kh * cr, axis=1)
-    det = a00 * a11 - a01 * a01
-    ridge = 1e-5 * a00 * a11 + 1e-12
-    m0 = (a11 * b0 - a01 * b1) / (det + ridge)
-    m1 = (a00 * b1 - a01 * b0) / (det + ridge)
-    r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
-    r_inc = r - r_coh
-
-    # per-harmonic noise floor: Winsorized mean of the incoherent power
-    # in the PROBE band (above 2x the split frequency) over usable
-    # frames.  Gating reaches down to cutoff_hz, but real slow-ish
-    # dynamics (vibrato AM sidebands, shimmer-band tails) live between
-    # cutoff and ~2x cutoff, so measuring the floor there would engage
-    # the gate on clean signals; the probe band above 2x cutoff is
-    # dynamics-free on clean fixtures (coherent parts already removed,
-    # burst transients rejected by the Winsorized clipping) while still
-    # seeing the window-lowpassed noise.  The probe UNDERestimates the
-    # full gated-band noise (window shaping concentrates it low);
-    # `strength` absorbs the shape factor -- leak is conservative.
-    wp = jnp.asarray(wp_np, FP)
-    hp = Mp // 2
-    lowp = jnp.zeros_like(r_inc)
-    for j in range(Mp):
-        lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
-    r_probe = r_inc - lowp
-    pp = r_probe.real**2 + r_probe.imag**2
-    ok = guard & (m > 0)
-    v, wmul = _denoise_floor_stats(
-        pp, p, r.real**2 + r.imag**2,
-        (c.real**2 + c.imag**2) * m, ok)
+        # per-harmonic noise floor: Winsorized mean of the incoherent
+        # power in the PROBE band (above 2x the split frequency) over
+        # usable frames.  Gating reaches down to cutoff_hz, but real
+        # slow-ish dynamics (vibrato AM sidebands, shimmer-band tails)
+        # live between cutoff and ~2x cutoff, so measuring the floor
+        # there would engage the gate on clean signals; the probe band
+        # above 2x cutoff is dynamics-free on clean fixtures (coherent
+        # parts already removed, burst transients rejected by the
+        # Winsorized clipping) while still seeing the window-lowpassed
+        # noise.  The probe UNDERestimates the full gated-band noise
+        # (window shaping concentrates it low); `strength` absorbs the
+        # shape factor -- leak is conservative.
+        wp = jnp.asarray(wp_np, FP)
+        hp = Mp // 2
+        lowp = jnp.zeros_like(r_inc)
+        for j in range(Mp):
+            lowp = lowp + wp[j] * _shift_rows(r_inc, j - hp, N)
+        r_probe = r_inc - lowp
+        pp = r_probe.real**2 + r_probe.imag**2
+        ok = guard & (m > 0)
+        v, wmul = _denoise_floor_stats(
+            pp, p, r.real**2 + r.imag**2,
+            (c.real**2 + c.imag**2) * m, ok)
 
     # second, WEIGHTED fit (see _denoise_floor_stats on wmul)
-    p2 = p * wmul[None, :]
-    cr2 = cr * wmul[None, :]
+    r = c - c_s
+    p2 = (c_s.real**2 + c_s.imag**2) * m * wmul[None, :]
+    cr2 = jnp.conj(c_s) * r * m * wmul[None, :]
     a00 = jnp.sum(p2, axis=1)
     a01 = jnp.sum(kh * p2, axis=1)
     a11 = jnp.sum(kh * kh * p2, axis=1)
@@ -473,11 +567,18 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     m1 = (a00 * b1 - a01 * b0) / (det + 1e-5 * a00 * a11 + 1e-12)
     r_coh = (m0[:, None] + m1[:, None] * kh) * c_s
     r_inc = r - r_coh
+
     pw = r_inc.real**2 + r_inc.imag**2
-
     g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
-
-    out = c_s + r_coh + g * r_inc
+    if spectral:
+        # hybrid: per-bin spectral gate on the slow part (sparse true
+        # spectrum there), per-frame time gate on the fast residual
+        # (true fast dynamics are impulsive in time, flat in f)
+        s_dn = _spectral_gate(c_s, r_inc, guard, v, mask, conf.thop,
+                              cutoff_hz, a_spec)
+        out = s_dn + r_coh + g * r_inc
+    else:
+        out = c_s + r_coh + g * r_inc
     out = jnp.where(guard, out, c) * jnp.conj(align)
     return jnp.abs(out) * mask, jnp.angle(out) * mask
 
@@ -579,7 +680,9 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
             ampl, phse = _track_denoise(conf, f0, cyc, centers, ampl,
                                         phse, mask, opt.track_denoise_hz,
                                         opt.track_denoise_strength,
-                                        use_pallas=opt.use_pallas)
+                                        use_pallas=opt.use_pallas,
+                                        spectral=opt.track_denoise_spectral,
+                                        a_spec=opt.track_spectral_strength)
         if opt.track_lowpass_hz > 0.0:
             ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
                                         phse, mask, opt.track_lowpass_hz)
