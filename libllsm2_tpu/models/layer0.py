@@ -885,11 +885,18 @@ def _band_segments(shaped_spec, masks, w, T: int, idft: str):
 
 def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
                  nhop: int, use_pallas: bool = False,
-                 idft: str = "matmul") -> jnp.ndarray:
+                 idft: str = "matmul", frame_base: int | jnp.ndarray = 0
+                 ) -> jnp.ndarray:
     """Stochastic noise component: WOLA-filtered white noise shaped by the
     warped PSD, band-split, then modulated by the reconstructed temporal
     envelopes (reference: layer0.c noise synthesis path).  Renders at the
-    (possibly different) output rate fs."""
+    (possibly different) output rate fs.
+
+    frame_base: global index of this array's first frame.  Each frame's
+    random spectrum is keyed by (key, frame_base + row), so a shard that
+    renders frames [i0, i0+nl) with frame_base=i0 draws the SAME spectra
+    the single-device render draws for those frames -- the frame-sharded
+    synthesis (parallel.seqparallel) is shard-count-invariant."""
     conf = chunk.conf
     N = chunk.nfrm
     T = 2 * nhop
@@ -933,9 +940,14 @@ def _synth_noise(chunk: Chunk, cyc, nx: int, key, fs: float,
     # variance; calibrating the variance to T (not sum(w^2)) makes the
     # synthesized PSD match the analysis periodogram convention exactly
     # (validated by TestRoundTrip.test_noise_psd_reproduced).
-    kr, ki = jax.random.split(key)
-    re = jax.random.normal(kr, (N, nbin), FP)
-    im = jax.random.normal(ki, (N, nbin), FP)
+    fidx = frame_base + jnp.arange(N, dtype=jnp.int32)
+
+    def _frame_bins(i):
+        kr, ki = jax.random.split(jax.random.fold_in(key, i))
+        return (jax.random.normal(kr, (nbin,), FP),
+                jax.random.normal(ki, (nbin,), FP))
+
+    re, im = jax.vmap(_frame_bins)(fidx)
     im = im.at[:, 0].set(0.0).at[:, -1].set(0.0)
     scale = jnp.full((nbin,), jnp.sqrt(T / 2.0))
     scale = scale.at[0].set(jnp.sqrt(float(T))).at[-1].set(

@@ -73,8 +73,16 @@ def test_breathiness_scales_noise_only(l1chunk):
 
 def test_breathiness_rd_relaxation_tilts_spectrum(l1chunk):
     """rd_delta > 0 (laxer glottis) must reduce high-frequency harmonic
-    energy relative to lows."""
+    energy relative to lows.  The fixture is a RANDOM-PHASE harmonic
+    source (no true glottal Rd exists, so the fitted track is ambiguous
+    -- with the round-4 1 kHz fit cap it lands bimodally at the grid
+    edges and +1.0 mostly clamps); pin rd to a known mid value so the
+    test exercises the EDIT, not the out-of-model fit."""
+    import jax.numpy as jnp
+
     x, f0, l1 = l1chunk
+    l1 = layer1.chunk_to_layer0(
+        l1.replace(rd=jnp.full(l1.nfrm, 0.5, jnp.float32)))
     lax_ = edits.breathiness(l1, 0.0, rd_delta=1.0)
 
     def hf_lf(ch):

@@ -118,11 +118,12 @@ class TestEdits:
 
 
 class TestRdRecovery:
-    def test_rd_recovered_within_25pct_under_formants(self):
+    def test_rd_recovered_within_15pct_under_formants(self):
         """On LF-excited fixtures with strong formants and known Rd, the
-        phase-deviation fit must recover the ABSOLUTE value within 25%
-        (VERDICT r1 #3 acceptance criterion; the round-1 amplitude-tilt
-        fit was biased 2-3x low by formant contamination)."""
+        phase-deviation fit must recover the ABSOLUTE value within 15%
+        (VERDICT r1 #3 acceptance criterion was 25%; the round-4 fit cap
+        at 1000 Hz measures within 8% -- at f0 = 140 the old 700 Hz cap
+        left only four harmonics and biased Rd 1.8 to 1.32)."""
         est = {}
         for rd_true in (0.4, 1.0, 1.8, 2.7):
             f0 = testsig.make_f0_track(160, 0.005, vibrato_depth=0.0,
@@ -131,7 +132,7 @@ class TestRdRecovery:
             chunk = layer0.analyze(create_aoptions(), x, f0)
             l1 = layer1.chunk_to_layer1(chunk)
             est[rd_true] = float(np.median(np.asarray(l1.rd)[20:-20]))
-            assert abs(est[rd_true] - rd_true) <= 0.25 * rd_true, est
+            assert abs(est[rd_true] - rd_true) <= 0.15 * rd_true, est
         assert est[0.4] < est[1.0] < est[1.8] < est[2.7], est
 
 
