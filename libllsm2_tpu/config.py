@@ -258,6 +258,13 @@ class SynthesisOptions:
     use_pallas: bool = False     # lower the oscillator bank to a Pallas kernel
     noise_idft: str = "matmul"   # band iDFTs as MXU matmuls ("fft": reference
                                  # inverse-FFT path; equality-tested)
+    pbp_oversample: int = 4      # PbP pulse-spectrum grid oversampling: the
+                                 # nfft_spec grid (31 Hz at the defaults)
+                                 # under-resolves formant curvature, moving
+                                 # re-analyzed harmonic amplitudes 3-9% near
+                                 # formants; the minphase cepstrum gives the
+                                 # exact fine-grid extension for ~4x pulse
+                                 # irfft cost (PbP only; see models/pbp.py)
 
 
 def create_aoptions(fs: float = 16000.0, **kw) -> AnalysisOptions:

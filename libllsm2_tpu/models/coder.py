@@ -172,10 +172,25 @@ class Quantizer:
 
     Slots that contain exact zeros (the F0 slot's unvoiced frames --
     the voiced/unvoiced DECISION) get lo forced to 0.0 so that 0
-    round-trips bit-exactly and voicing is preserved."""
-    lo: "object"           # np.ndarray [dims] float32
-    hi: "object"           # np.ndarray [dims] float32
+    round-trips bit-exactly and voicing is preserved.
+
+    Slots flagged in `dpcm` are coded as closed-loop DPCM along the
+    FRAME axis instead: frame 0 absolute (the [lo, hi] affine code),
+    then each frame the saturating delta of the true value against the
+    decoder's own reconstruction, on the fitted [dlo, dhi] delta range.
+    For slowly-varying tracks this is worth the delta-range ratio in
+    step size (~20-40x for Rd) at the same bit width.  Why Rd needs it:
+    the LF source's harmonic PHASES move steeply with Rd near the
+    source-spectrum nulls, so the 8-bit absolute step of 0.011 Rd
+    de-coheres pulse shapes frame to frame (render SNR 14 dB --
+    docs/STATUS.md item 34); closed-loop DPCM tracks the smooth
+    (Viterbi-regularized) Rd contour to ~1e-3."""
+    lo: "object"            # np.ndarray [dims] float32
+    hi: "object"            # np.ndarray [dims] float32
     bits: int = 8
+    dpcm: "object" = None   # np.ndarray [dims] bool, or None
+    dlo: "object" = None    # np.ndarray [dims] float32 (DPCM slots)
+    dhi: "object" = None
 
     @property
     def step(self):
@@ -183,34 +198,94 @@ class Quantizer:
         levels = (1 << self.bits) - 1
         return np.maximum(self.hi - self.lo, 1e-12) / levels
 
+    @property
+    def dstep(self):
+        import numpy as np
+        levels = (1 << self.bits) - 1
+        return np.maximum(self.dhi - self.dlo, 1e-12) / levels
 
-def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1) -> Quantizer:
-    """Fit per-slot ranges on a reference set of encoded vectors
-    ([N, dims] or [B, N, dims])."""
+
+def default_dpcm_mask(coder: CoderConfig):
+    """Default DPCM slot selection for `fit_quantizer`: the Rd slot.
+    (F0 stays absolute: its voiced<->0 voicing jumps would blow up the
+    fitted delta range; every other slot is transparent at 8 bits.)"""
     import numpy as np
-    v = np.asarray(vectors, np.float32).reshape(-1, vectors.shape[-1])
+    mask = np.zeros(coder.dims, bool)
+    for name, off, size in coder.layout():
+        if name == "rd":
+            mask[off:off + size] = True
+    return mask
+
+
+def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1,
+                  dpcm=None) -> Quantizer:
+    """Fit per-slot ranges on a reference set of encoded vectors
+    ([N, dims] or [B, N, dims]).
+
+    dpcm: optional bool mask [dims] (see default_dpcm_mask) -- those
+    slots get a delta range fitted from the frame-to-frame diffs (max
+    |diff| + 25% slew headroom, symmetric) and are coded closed-loop."""
+    import numpy as np
+    vv = np.asarray(vectors, np.float32)
+    v = vv.reshape(-1, vv.shape[-1])
     lo = np.percentile(v, pct, axis=0).astype(np.float32)
     hi = np.percentile(v, 100.0 - pct, axis=0).astype(np.float32)
     has_zero = (v == 0.0).mean(axis=0) > 0.001
     lo = np.where(has_zero & (lo > 0.0), 0.0, lo)
     hi = np.maximum(hi, lo + 1e-6)
-    return Quantizer(lo=lo, hi=hi, bits=int(bits))
+    dlo = dhi = None
+    if dpcm is not None:
+        dpcm = np.asarray(dpcm, bool)
+        d = np.abs(np.diff(vv.reshape(-1, vv.shape[-2], vv.shape[-1])
+                           if vv.ndim > 2 else vv[None], axis=1))
+        dmax = d.max(axis=(0, 1)) if d.size else np.zeros(vv.shape[-1])
+        # headroom for closed-loop slew after a saturated step; floor so
+        # an all-constant slot still gets a usable (tiny) range
+        r = np.maximum(1.25 * dmax, 1e-4).astype(np.float32)
+        dlo, dhi = -r, r
+    return Quantizer(lo=lo, hi=hi, bits=int(bits), dpcm=dpcm,
+                     dlo=dlo, dhi=dhi)
 
 
 def quantize(q: Quantizer, vectors):
-    """[..., dims] float -> uint8/uint16 codes (saturating)."""
+    """[..., N, dims] float -> uint8/uint16 codes (saturating).  DPCM
+    slots (q.dpcm) are coded closed-loop along the frame axis."""
     import numpy as np
     v = np.asarray(vectors, np.float32)
     levels = (1 << q.bits) - 1
     codes = np.round((np.clip(v, q.lo, q.hi) - q.lo) / q.step)
+    if q.dpcm is not None and q.dpcm.any():
+        m = q.dpcm
+        dlo, dstep = q.dlo[m], q.dstep[m]
+        flat = v.reshape(-1, *v.shape[-2:])
+        out = codes.reshape(-1, *v.shape[-2:])
+        # frame 0 stays the absolute code; decoder state starts there
+        recon = q.lo[m] + out[:, 0][:, m] * q.step[m]
+        for n in range(1, v.shape[-2]):
+            delta = np.clip(flat[:, n][:, m] - recon, dlo, q.dhi[m])
+            c = np.round((delta - dlo) / dstep)
+            out[:, n][:, m] = c
+            recon = recon + dlo + c * dstep
+        codes = out.reshape(v.shape)
     return codes.astype(np.uint8 if q.bits <= 8 else np.uint16)
 
 
 def dequantize(q: Quantizer, codes):
     """Codes -> float32 vectors (feedable to decode/decode_frames)."""
     import numpy as np
-    return (q.lo + np.asarray(codes, np.float32) * q.step).astype(
-        np.float32)
+    c = np.asarray(codes, np.float32)
+    v = (q.lo + c * q.step).astype(np.float32)
+    if q.dpcm is not None and q.dpcm.any():
+        m = q.dpcm
+        dlo, dstep = q.dlo[m], q.dstep[m]
+        flat = c.reshape(-1, *c.shape[-2:])
+        out = v.reshape(-1, *c.shape[-2:])
+        recon = out[:, 0][:, m]
+        for n in range(1, c.shape[-2]):
+            recon = recon + dlo + flat[:, n][:, m] * dstep
+            out[:, n][:, m] = recon
+        v = out.reshape(c.shape)
+    return v
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -127,9 +127,56 @@ def _phase_dev_tables(max_k: int):
     return np.asarray(dmodel)
 
 
+def _rd_viterbi(score: jnp.ndarray, voiced: jnp.ndarray,
+                lam: float) -> jnp.ndarray:
+    """Continuity-regularized Rd grid path: maximize
+    sum_n score[n, g_n] - lam * sum_n (log rd[g_n] - log rd[g_{n-1}])^2
+    over grid paths by Viterbi (lax.scan forward + backtrace).
+
+    Why: on OUT-OF-MODEL sources (no LF glottal shape exists -- e.g. the
+    synth_harmonic fixtures, or any non-glottal audio) the per-frame
+    phase-deviation score landscape is nearly FLAT (measured range
+    ~0.04-0.08 over the whole grid vs ~0.1 peak contrast on LF sources)
+    and the per-frame argmax rails arbitrarily between the grid EDGES
+    frame to frame (0.10 <-> 2.79 on adjacent frames).  Round trips never
+    see it (vsphse absorbs any Rd error exactly), but PbP pulse shapes
+    follow rd directly: each rail flip crossfades two phase-incoherent
+    pulse spectra, and those few frames carried ~60% of the PbP<->
+    sinusoidal harmonic-track parity error.  A quadratic log-Rd
+    transition penalty kills the rails while leaving genuine fits
+    untouched (constant-Rd recovery over the 0.4..2.7 grid unchanged at
+    worst 6.6%; an adversarial INSTANT 0.6->2.0 step still settles in
+    ~5 frames with <=10% transient bias -- tests/test_layer1.py).
+
+    Unvoiced frames contribute zero observation, so the path coasts
+    smoothly across gaps on the prior alone (their rd is overwritten
+    downstream anyway).  Cost: N x G^2 = trivial next to the projection.
+    """
+    N, G = score.shape
+    dstep = (jnp.log(RD_MAX) - jnp.log(RD_MIN)) / (G - 1)
+    di = (jnp.arange(G)[:, None] - jnp.arange(G)[None, :]).astype(FP)
+    pen = lam * (di * dstep) ** 2                           # [G(prev), G]
+    obs = jnp.where(voiced[:, None], score, 0.0)
+
+    def fwd(cost, ob):
+        m = cost[:, None] - pen
+        return jnp.max(m, axis=0) + ob, jnp.argmax(m, axis=0)
+
+    cost, bp = jax.lax.scan(fwd, obs[0], obs[1:])           # bp [N-1, G]
+
+    def back(g, bpn):
+        g_prev = bpn[g]
+        return g_prev, g_prev
+
+    g_last = jnp.argmax(cost)
+    _, g_rev = jax.lax.scan(back, g_last, bp, reverse=True)
+    return jnp.concatenate([g_rev, g_last[None]])           # [N]
+
+
 def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
                  mask: jnp.ndarray, f0: jnp.ndarray | None = None,
-                 fcap: float = 1000.0) -> jnp.ndarray:
+                 fcap: float = 1000.0,
+                 smooth: float = 10.0) -> jnp.ndarray:
     """Estimate Rd per frame from the harmonic PHASE deviation from
     minimum phase (reference: layer1.c Rd fit -- upstream objective
     marked [M] in SURVEY.md; this phase form replaces round 1's
@@ -150,6 +197,9 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
     log_ampl [N, K]: RAW harmonic log amplitudes (lip radiation
     included; its known +log k tilt is in the model table).
     phse [N, K]: measured harmonic phases at the frame center.
+    smooth: weight of the quadratic log-Rd continuity prior solved by
+    Viterbi over the grid (see _rd_viterbi; 0 disables -- pure
+    per-frame fits).
     Returns rd [N].  Measured on LF fixtures with strong formants and
     aspiration noise 0.02 (tests/test_layer1.py::TestRdRecovery): within
     8% of ground truth across Rd in [0.4, 2.7].
@@ -189,12 +239,47 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
         c = wn[:, None, :] * jnp.exp(1j * diff)
         sc_t = jnp.abs(jnp.einsum("ngk,tk->ngt", c, basis,
                                   precision=jax.lax.Precision.HIGHEST))
-        score = jnp.max(sc_t, axis=-1)
-        t_best = jnp.argmax(jnp.max(sc_t, axis=1), axis=-1)  # [N]
-        g = jnp.argmax(score, axis=-1)
-        return score, g, t_best
+        # circular parabolic refinement of the phase-ramp score: the
+        # theta grid quantizes the free pulse-position ramp to pi/T,
+        # i.e. up to k*pi/T rad of un-modeled phase at harmonic k --
+        # enough that the winning Rd entry OSCILLATED as the frame
+        # center's cycle phase swept through the grid (measured on a
+        # perfectly stationary LF fixture: fitted Rd sawtoothed
+        # 0.62..0.77 at the hop/period beat rate, the dominant PbP
+        # parity error because pulse shapes follow rd directly while
+        # tolayer0 cancels the wobble through vsphse)
+        t_arg = jnp.argmax(sc_t, axis=-1)                    # [N, G]
+        T = sc_t.shape[-1]
+        sm = jnp.take_along_axis(sc_t, ((t_arg - 1) % T)[..., None],
+                                 axis=-1)[..., 0]
+        s0 = jnp.take_along_axis(sc_t, t_arg[..., None], axis=-1)[..., 0]
+        sp = jnp.take_along_axis(sc_t, ((t_arg + 1) % T)[..., None],
+                                 axis=-1)[..., 0]
+        den = sm - 2.0 * s0 + sp                 # < 0 at a genuine peak
+        den = jnp.where(jnp.abs(den) < 1e-12, -1e-12, den)
+        p = jnp.clip(0.5 * (sm - sp) / den, -0.5, 0.5)
+        score = s0 - 0.25 * (sm - sp) * p                    # [N, G]
+        return score, t_arg, p
 
-    score, g, t_best = solve(w0)
+    voiced = (f0 > 0) if f0 is not None \
+        else jnp.ones(log_ampl.shape[0], bool)
+
+    def choose(score, t_arg, p):
+        """Grid entry per frame: temporally-regularized Viterbi path
+        (see _rd_viterbi) or the plain per-frame argmax, plus the
+        refined pulse-position ramp theta at that entry."""
+        if smooth > 0.0:
+            g = _rd_viterbi(score, voiced, smooth)
+        else:
+            g = jnp.argmax(score, axis=-1)
+        T = RD_PHASE_TGRID
+        tg = jnp.take_along_axis(t_arg, g[:, None], axis=-1)[:, 0]
+        pg = jnp.take_along_axis(p, g[:, None], axis=-1)[:, 0]
+        theta_best = (tg.astype(FP) + pg) * (2.0 * jnp.pi / T)
+        return g, theta_best
+
+    score, t_arg, p = solve(w0)
+    g, theta_best = choose(score, t_arg, p)
     # one IRLS pass: an inter-harmonic spectral ZERO (nasal antiformant)
     # falls between the sampled harmonics, so minphase(sampled envelope)
     # misses its phase step and the 1-2 adjacent harmonics carry large
@@ -204,7 +289,7 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
     # fit's optimum (Cauchy weight, sigma 0.5 rad) and refit.
     res = jnp.take_along_axis(
         diff, g[:, None, None], axis=1)[:, 0, :] \
-        - kf[None, :] * jnp.take(theta, t_best)[:, None]
+        - kf[None, :] * theta_best[:, None]
     # subtract the free COMMON phase the score's abs() absorbs (review
     # finding: e.g. polarity-inverted audio gives phi ~ pi and every
     # residual would wrap to +-pi, collapsing the Cauchy weights)
@@ -213,7 +298,8 @@ def fit_rd_phase(log_ampl: jnp.ndarray, phse: jnp.ndarray,
                             keepdims=True))
     res = _wrap(res - phi)
     w1 = w0 / (1.0 + (res / 0.5) ** 2)
-    score, g, _ = solve(w1)
+    score, t_arg, p = solve(w1)
+    g, _ = choose(score, t_arg, p)
     gf, _ = spectral.qifft(score, g)
     log_rd = jnp.interp(gf, jnp.arange(RD_GRID_SIZE, dtype=FP),
                         jnp.log(grid))

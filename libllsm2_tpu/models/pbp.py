@@ -27,6 +27,11 @@ from ..ops import harmonics, lf, spectral
 from . import layer1
 from .layer0 import SynthResult, _synth_noise
 
+# guard samples between the irfft window start and each pulse onset: room
+# for the fractional-delay interpolation kernel's acausal tail (shared by
+# the offline and streaming pulse renderers)
+PULSE_GUARD = 64
+
 
 def _pulse_onsets(f0: jnp.ndarray, thop: float, p_max: int):
     """Onset times (seconds) of each glottal cycle and validity mask.
@@ -55,8 +60,9 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
     nhop = conf.nhop
     n = chunk.nfrm
     nx = n * nhop
-    nfft = conf.nfft_spec
-    nspec = conf.nspec
+    os_ = max(int(opt.pbp_oversample), 1)
+    nfft = os_ * conf.nfft_spec
+    nspec = os_ * (conf.nspec - 1) + 1
     fs = conf.fs
 
     p_max = int(n * conf.thop * conf.f0_ceil) + 2
@@ -86,44 +92,83 @@ def _pbp_jit(opt: SynthesisOptions, chunk: Chunk) -> SynthResult:
 
     f0_p = jnp.maximum(lerp(chunk.f0), 1e-2)
     period = 1.0 / f0_p                                        # [P] seconds
-    rd_p = lerp(chunk.rd)
-
-    # complex VT spectrum per frame (computed once, lerped per pulse)
-    vt_spec = spectral.minphase_spectrum(chunk.vtmagn)         # [N, nspec]
-    vt_p = lerp(vt_spec)                                       # [P, nspec]
 
     fbins = jnp.linspace(0.0, fs / 2.0, nspec)
     lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)
            * conf.lip_radius / layer1.SPEED_OF_SOUND) * jnp.exp(
                1j * jnp.pi / 2.0).astype(CP)
 
-    params = lf.lf_from_rd(rd_p)                               # batched [P]
-    f_norm = fbins[None, :] * period[:, None]                  # [P, nspec]
-    src = lf.lf_spectrum(f_norm, jax.tree.map(lambda a: a[:, None], params))
+    # Per-frame COMBINED source-x-tract complex spectrum, lerped per pulse
+    # (spec_frames below).  Two measured design rules:
+    #
+    # 1. Lerp the COMBINED spectrum, never (rd lerp, vt lerp) separately:
+    #    vtmagn embeds -src_logmag(rd_n) at the frame's own rd, so any
+    #    per-frame rd ERROR cancels exactly when the frame's own source
+    #    multiplies it back -- but a lerped rd's source does NOT cancel
+    #    either endpoint's embedded inverse.  On out-of-model sources
+    #    (non-LF excitation: no true rd exists) the phase-deviation fit
+    #    rails between the grid edges frame to frame, and the
+    #    rd-lerp render lost ~9 dB of harmonic-track parity vs the
+    #    sinusoidal render at those transitions (tests/test_pbp.py).
+    #    Lerping the combined spectra reduces rd flips to a crossfade of
+    #    two individually-correct spectra -- the same crossfade the
+    #    sinusoidal OLA performs.
+    #
+    # 2. Sample the envelope by LINEAR interpolation of the log magnitude
+    #    and of the coarse-grid minimum phase onto the os-times-finer
+    #    grid, exactly as chunk_to_layer0 evaluates harmonics: the
+    #    fixed-point correction in chunk_to_layer1 guarantees *linear*
+    #    interpolation reproduces the measured amplitudes; cepstral/sinc
+    #    interpolation deviates 3-9% near formants (48% of the round-3
+    #    parity error sat in ONE formant-adjacent harmonic).  The irfft
+    #    grid's own Dirichlet interpolation then only bridges the
+    #    os-times-finer cells (os=4 default: sub-1% residual).
+    f0_fr = jnp.maximum(chunk.f0, 1e-2)                        # [N]
+    params_f = lf.lf_from_rd(chunk.rd)                         # batched [N]
+    src_f = lf.lf_spectrum(fbins[None, :] / f0_fr[:, None],
+                           jax.tree.map(lambda a: a[:, None], params_f))
     # normalize the source so the fundamental has unit magnitude, matching
     # the layer-1 convention (layer1._source_tables)
-    src1 = lf.lf_spectrum(jnp.ones_like(period),
-                          jax.tree.map(lambda a: a, params))
-    src = src / jnp.maximum(jnp.abs(src1)[:, None], 1e-12)
+    src1_f = lf.lf_spectrum(jnp.ones_like(f0_fr), params_f)
+    src_f = src_f / jnp.maximum(jnp.abs(src1_f)[:, None], 1e-12)
+    vt_f = jnp.exp(
+        spectral.upsample_linear(chunk.vtmagn, os_).astype(CP)
+        + 1j * spectral.upsample_linear(
+            spectral.minphase_phase(chunk.vtmagn), os_))       # [N, nspec]
+    spec_frames = vt_f * src_f
+    spec_p = lerp(spec_frames)                                 # [P, nspec]
 
-    # sub-sample alignment: linear phase for the fractional onset delay
+    # sub-sample alignment: linear phase for the fractional onset delay,
+    # PLUS a GUARD shift of C samples.  The fractional-delay Dirichlet
+    # kernel is two-sided; without the guard its acausal tail wraps
+    # around the irfft window and gets scatter-placed a full nfft LATE --
+    # measured on a unit pulse train (vt = src = 1, f0 = 134): harmonic
+    # amplitudes wobbled +17% / -4% and collapsed to 0.68 by k = 50;
+    # with C = 64 the train is flat to ~1% (the tail still truncates at
+    # -46 dB ~ 1/(pi*C)).  (The dominant parity error was the Rd fit's
+    # theta-grid quantization, fixed in layer1.fit_rd_phase; this guard
+    # removes the next-largest render artifact.)
+    GUARD = PULSE_GUARD
     onset_samples = t_on * fs
     onset_int = jnp.floor(onset_samples).astype(jnp.int32)
     frac = (onset_samples - onset_int)[:, None]
-    delay = jnp.exp((-2j * jnp.pi) * fbins[None, :] / fs * frac)
+    delay = jnp.exp((-2j * jnp.pi) * fbins[None, :] / fs * (frac + GUARD))
 
     # Continuous-time pulse FT P(f) = (T/2) * A(f) * e^{j phase} gives a
     # periodic train with one-sided harmonic amplitudes A(k f0); sampling
     # p[m] = fs * irfft(P(f_b)) converts the FT to the discrete grid.
-    pulse_spec = (period[:, None] / 2.0 * fs) * vt_p * src * lip[None, :] \
+    pulse_spec = (period[:, None] / 2.0 * fs) * spec_p * lip[None, :] \
         * delay
     pulses = jnp.fft.irfft(pulse_spec, n=nfft)
     pulses = pulses * valid[:, None]
 
+    # pulse sample m sits at real position onset_int - GUARD + m; scatter
+    # into a GUARD-shifted buffer so indices stay non-negative, then
+    # slice the real range
     idx = onset_int[:, None] + jnp.arange(nfft)[None, :]
-    idx = jnp.clip(idx, 0, nx + nfft - 1)
-    y_sin = jnp.zeros(nx + nfft, FP).at[idx.reshape(-1)].add(
-        pulses.reshape(-1))[:nx]
+    idx = jnp.clip(idx, 0, nx + GUARD + nfft - 1)
+    y_sin = jnp.zeros(nx + GUARD + nfft, FP).at[idx.reshape(-1)].add(
+        pulses.reshape(-1))[GUARD:GUARD + nx]
 
     key = jax.random.PRNGKey(opt.noise_seed)
     cyc = harmonics.sample_cycles(chunk.f0, nhop, fs, nx)

@@ -118,6 +118,27 @@ def minphase_spectrum(logmag: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(logmag.astype(CP) + 1j * minphase_phase(logmag))
 
 
+def upsample_linear(v: jnp.ndarray, os: int) -> jnp.ndarray:
+    """Linearly upsample the last axis by an integer factor: `n` points
+    -> `os*(n-1)+1` points spanning the same interval, EXACT at the
+    original points.  Gather-free (reshape of per-cell lerps).
+
+    Used by the pulse-by-pulse renderers to evaluate the vocal-tract
+    envelope (log magnitude and minimum phase separately) on the
+    os-times-finer pulse-spectrum grid with the SAME linear
+    interpolation chunk_to_layer0 uses at the harmonic frequencies --
+    the layer-1 fixed-point correction guarantees linear interpolation
+    reproduces the measured harmonic amplitudes; cepstral/sinc
+    interpolation deviates 3-9% near formants (tests/test_pbp.py)."""
+    if os == 1:
+        return v
+    d = jnp.diff(v, axis=-1)                        # [..., n-1]
+    a = jnp.arange(os, dtype=v.dtype) / os          # [os]
+    seg = v[..., :-1, None] + d[..., None] * a      # [..., n-1, os]
+    return jnp.concatenate(
+        [seg.reshape(v.shape[:-1] + (-1,)), v[..., -1:]], axis=-1)
+
+
 def periodogram(frames: jnp.ndarray, window: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """Windowed periodogram, power-per-bin convention normalized by sum(w^2)
     so that unit-variance white noise gives a flat PSD of 1."""

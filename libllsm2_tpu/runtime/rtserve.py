@@ -178,7 +178,8 @@ class StreamPool:
             budget = -(-budget // self._ndev) * self._ndev
             args = RTSynthesizer._pack_pulse_jobs(conf, all_jobs, budget)
             pulses = np.asarray(_render_pulses(
-                conf, *(self._put(a) for a in args)))
+                conf, *(self._put(a) for a in args),
+                self.streams[0].sopt.pbp_oversample))
             self.dispatches += 1
 
         off = 0

@@ -82,38 +82,54 @@ def _render_frames(conf: ChunkConf, ampl, phse, mask, dc_seg, psd, edc,
         voiced)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _render_pulses(conf: ChunkConf, vtm0, vtm1, wlerp, rd, f0, frac,
-                   valid):
+@functools.partial(jax.jit, static_argnums=(0, 10))
+def _render_pulses(conf: ChunkConf, vtm0, vtm1, wlerp, rd0, rd1, f00, f01,
+                   frac, valid, os_: int = 4):
     """Render P glottal pulses with PER-PULSE source/tract parameters
     (streaming PbP mode; reference: llsmrt.c PbP -- SURVEY.md 3.4).
 
     vtm0/vtm1 [P, nspec] are each pulse's bracketing frames' log VT
-    magnitudes; the COMPLEX minimum-phase spectra are lerped with wlerp
-    [P] -- the same per-pulse parameter interpolation as the offline
-    renderer (models.pbp), so stream == offline holds.  rd/f0/frac/valid
-    [P] (already lerped host-side).  Returns [P, nfft]."""
+    magnitudes and rd0/rd1/f00/f01 [P] those frames' source parameters;
+    each frame's COMBINED source-x-tract complex spectrum is built and
+    the combination is lerped with wlerp [P] -- the same per-pulse
+    interpolation as the offline renderer (models.pbp; see the design
+    notes there for why the combined spectrum, and not (rd lerp,
+    vt lerp), must be interpolated), so stream == offline holds.
+    frac/valid [P].  os_ is the spectral-grid oversampling
+    (sopt.pbp_oversample) and each pulse is rendered PULSE_GUARD samples
+    into its buffer (callers place rows at onset - PULSE_GUARD), both
+    matching the offline renderer.  Returns [P, os_*nfft]."""
     from ..models import layer1 as l1m
+    from ..models.pbp import PULSE_GUARD
     from ..ops import lf, spectral
 
-    nfft = conf.nfft_spec
+    nfft = os_ * conf.nfft_spec
+    nspec = os_ * (conf.nspec - 1) + 1
     fs = conf.fs
-    fbins = jnp.linspace(0.0, fs / 2.0, conf.nspec)
+    fbins = jnp.linspace(0.0, fs / 2.0, nspec)
+
+    def combined(vtm, rd, f0):
+        vt = jnp.exp(
+            spectral.upsample_linear(vtm, os_).astype(jnp.complex64)
+            + 1j * spectral.upsample_linear(
+                spectral.minphase_phase(vtm), os_))          # [P, nspec]
+        f0c = jnp.maximum(f0, 1e-2)
+        params = lf.lf_from_rd(rd)
+        src = lf.lf_spectrum(fbins[None, :] / f0c[:, None],
+                             jax.tree.map(lambda a: a[:, None], params))
+        src1 = lf.lf_spectrum(jnp.ones_like(f0c), params)
+        return vt * src / jnp.maximum(jnp.abs(src1)[:, None], 1e-12)
+
     w = wlerp[:, None]
-    vt = (1.0 - w) * spectral.minphase_spectrum(vtm0) \
-        + w * spectral.minphase_spectrum(vtm1)               # [P, nspec]
+    spec_c = (1.0 - w) * combined(vtm0, rd0, f00) \
+        + w * combined(vtm1, rd1, f01)                       # [P, nspec]
     lip = (2.0 * jnp.pi * jnp.maximum(fbins, 1e-3)
            * conf.lip_radius / l1m.SPEED_OF_SOUND
            ) * jnp.exp(1j * jnp.pi / 2.0).astype(jnp.complex64)
-    period = 1.0 / jnp.maximum(f0, 1e-2)                     # [P]
-    params = lf.lf_from_rd(rd)
-    src = lf.lf_spectrum(fbins[None, :] * period[:, None],
-                         jax.tree.map(lambda a: a[:, None], params))
-    src1 = lf.lf_spectrum(jnp.ones_like(period), params)
-    src = src / jnp.maximum(jnp.abs(src1)[:, None], 1e-12)
+    period = 1.0 / jnp.maximum((1.0 - wlerp) * f00 + wlerp * f01, 1e-2)
     delay = jnp.exp((-2j * jnp.pi) * fbins[None, :] / fs
-                    * frac[:, None])                         # [P, nspec]
-    spec = (period[:, None] / 2.0 * fs) * vt * src * lip[None, :] * delay
+                    * (frac[:, None] + PULSE_GUARD))         # [P, nspec]
+    spec = (period[:, None] / 2.0 * fs) * spec_c * lip[None, :] * delay
     return jnp.fft.irfft(spec, n=nfft) * valid[:, None]
 
 
@@ -266,19 +282,19 @@ class RTSynthesizer:
         self._i += 1
 
     def _pulse_params(self, cur, nxt, f0c, oi, fr):
-        """Per-pulse lerped parameters (mirrors models.pbp: lerp toward
-        the NEXT frame when both are voiced, else hold the onset
-        frame's)."""
+        """Per-pulse bracketing-frame parameters (mirrors models.pbp:
+        lerp the combined spectra toward the NEXT frame when both are
+        voiced, else hold the onset frame's).  Returns
+        (vt0, vt1, wlerp, rd0, rd1, f00, f01)."""
         w = (oi + fr) / self.nhop
         use_next = (nxt is not None and nxt.get("f0", 0.0) > 0
                     and "vtmagn" in nxt)
+        rd0 = float(cur.get("rd", 1.0))
         if not use_next:
-            return cur["vtmagn"], cur["vtmagn"], 0.0, \
-                float(cur.get("rd", 1.0)), f0c
-        rd_p = (1.0 - w) * float(cur.get("rd", 1.0)) \
-            + w * float(nxt.get("rd", 1.0))
-        f0_p = (1.0 - w) * f0c + w * float(nxt["f0"])
-        return cur["vtmagn"], nxt["vtmagn"], w, rd_p, f0_p
+            return (cur["vtmagn"], cur["vtmagn"], 0.0,
+                    rd0, rd0, f0c, f0c)
+        return (cur["vtmagn"], nxt["vtmagn"], w,
+                rd0, float(nxt.get("rd", 1.0)), f0c, float(nxt["f0"]))
 
     def _emit_pulses(self, cur, nxt, f0c: float) -> None:
         """PbP mode: place the glottal pulses whose onsets fall in the hop
@@ -296,22 +312,27 @@ class RTSynthesizer:
         vt0 = np.tile(np.asarray(cur["vtmagn"], np.float32), (Pmax, 1))
         vt1 = vt0.copy()
         wl = np.zeros((Pmax,), np.float32)
-        rdv = np.ones((Pmax,), np.float32)
-        f0v = np.full((Pmax,), 100.0, np.float32)
+        rdv0 = np.ones((Pmax,), np.float32)
+        rdv1 = np.ones((Pmax,), np.float32)
+        f0v0 = np.full((Pmax,), 100.0, np.float32)
+        f0v1 = np.full((Pmax,), 100.0, np.float32)
         fracs = np.zeros((Pmax,), np.float32)
         valid = np.zeros((Pmax,), np.float32)
         for p, (oi, fr) in enumerate(onsets):
-            v0, v1, w, rd_p, f0_p = self._pulse_params(cur, nxt, f0c, oi,
-                                                       fr)
+            v0, v1, w, rd0, rd1, f00, f01 = self._pulse_params(
+                cur, nxt, f0c, oi, fr)
             vt0[p], vt1[p], wl[p] = v0, v1, w
-            rdv[p], f0v[p], fracs[p], valid[p] = rd_p, f0_p, fr, 1.0
+            rdv0[p], rdv1[p], f0v0[p], f0v1[p] = rd0, rd1, f00, f01
+            fracs[p], valid[p] = fr, 1.0
         pulses = np.asarray(_render_pulses(
             self.conf, jnp.asarray(vt0), jnp.asarray(vt1),
-            jnp.asarray(wl), jnp.asarray(rdv), jnp.asarray(f0v),
-            jnp.asarray(fracs), jnp.asarray(valid)))
+            jnp.asarray(wl), jnp.asarray(rdv0), jnp.asarray(rdv1),
+            jnp.asarray(f0v0), jnp.asarray(f0v1),
+            jnp.asarray(fracs), jnp.asarray(valid),
+            self.sopt.pbp_oversample))
         self.dispatches += 1
         for p, (oi, _) in enumerate(onsets):
-            self.ring.add(pulses[p], i * nhop + oi)
+            self._add_pulse(pulses[p], i * nhop + oi)
 
     # -- public API (reference: llsm_rtsynth_buffer_feed/_fetch) ---------
     def reset(self) -> None:
@@ -373,7 +394,7 @@ class RTSynthesizer:
         phase-propagation cycle accumulator by M hops (ring/_i are NOT
         touched -- see _commit_group).  Returns (inputs dict, M,
         pulse_jobs); pulse_jobs entries are
-        (abs_frame, onset, frac, vt0, vt1, wlerp, rd, f0).
+        (abs_frame, onset, frac, vt0, vt1, wlerp, rd0, rd1, f00, f01).
 
         All array work is vectorized over the group's frames: the
         per-frame formulation cost ~0.8 ms of numpy-call overhead per
@@ -464,10 +485,10 @@ class RTSynthesizer:
                     f0cj = float(f0c[j])
                     nxt = grp[j + 1]
                     for oi, fr in self._pulse_onsets(f0cj):
-                        v0, v1, w, rd_p, f0_p = self._pulse_params(
+                        v0, v1, w, rd0, rd1, f00, f01 = self._pulse_params(
                             cur, nxt, f0cj, oi, fr)
                         pulse_jobs.append((i0 + j, oi, fr, v0, v1, w,
-                                           rd_p, f0_p))
+                                           rd0, rd1, f00, f01))
         return ins, M, pulse_jobs
 
     @staticmethod
@@ -480,8 +501,10 @@ class RTSynthesizer:
         vt0 = np.zeros((budget, conf.nspec), np.float32)
         vt1 = np.zeros((budget, conf.nspec), np.float32)
         wl = np.zeros((budget,), np.float32)
-        rdv = np.ones((budget,), np.float32)
-        f0v = np.full((budget,), 100.0, np.float32)
+        rdv0 = np.ones((budget,), np.float32)
+        rdv1 = np.ones((budget,), np.float32)
+        f0v0 = np.full((budget,), 100.0, np.float32)
+        f0v1 = np.full((budget,), 100.0, np.float32)
         frv = np.zeros((budget,), np.float32)
         val = np.zeros((budget,), np.float32)
         if P:
@@ -490,11 +513,25 @@ class RTSynthesizer:
             vt0[:P] = np.stack([pj[3] for pj in pulse_jobs])
             vt1[:P] = np.stack([pj[4] for pj in pulse_jobs])
             wl[:P] = [pj[5] for pj in pulse_jobs]
-            rdv[:P] = [pj[6] for pj in pulse_jobs]
-            f0v[:P] = [pj[7] for pj in pulse_jobs]
+            rdv0[:P] = [pj[6] for pj in pulse_jobs]
+            rdv1[:P] = [pj[7] for pj in pulse_jobs]
+            f0v0[:P] = [pj[8] for pj in pulse_jobs]
+            f0v1[:P] = [pj[9] for pj in pulse_jobs]
             frv[:P] = [pj[2] for pj in pulse_jobs]
             val[:P] = 1.0
-        return vt0, vt1, wl, rdv, f0v, frv, val
+        return vt0, vt1, wl, rdv0, rdv1, f0v0, f0v1, frv, val
+
+    def _add_pulse(self, pulse, onset_pos: int) -> None:
+        """OLA one rendered pulse row into the ring.  The row starts
+        PULSE_GUARD samples BEFORE the onset (models.pbp convention for
+        the fractional-delay kernel's acausal tail); clip the head when
+        that reaches before the stream start."""
+        from ..models.pbp import PULSE_GUARD
+        pos = onset_pos - PULSE_GUARD
+        if pos < 0:
+            pulse = pulse[-pos:]
+            pos = 0
+        self.ring.add(pulse, pos)
 
     def _commit_group(self, segs, M: int, pulses, pulse_jobs) -> None:
         """OLA M rendered segments (+ this group's pulse rows) into the
@@ -510,7 +547,7 @@ class RTSynthesizer:
             self.ring.add(seg, pos)
             self._i += 1
         for p, (fi, oi, *_rest) in enumerate(pulse_jobs):
-            self.ring.add(pulses[p], fi * nhop + oi)
+            self._add_pulse(pulses[p], fi * nhop + oi)
         # finalize only up to the last rendered frame's CENTER: its
         # trailing half-window still receives the next frame's overlap
         # (matches the per-frame path's advance(i*nhop))
@@ -534,7 +571,8 @@ class RTSynthesizer:
                 args = self._pack_pulse_jobs(conf, pulse_jobs,
                                              self._pulse_budget())
                 pulses = np.asarray(_render_pulses(
-                    conf, *(jnp.asarray(a) for a in args)))
+                    conf, *(jnp.asarray(a) for a in args),
+                    self.sopt.pbp_oversample))
                 self.dispatches += 1
             self._commit_group(segs, M, pulses, pulse_jobs)
 

@@ -88,14 +88,20 @@ def coded_save(path: str, cc, vectors, bits: int = 8,
     from ..models import coder as coder_mod
 
     v = np.asarray(vectors, np.float32)
-    q = quant or coder_mod.fit_quantizer(v, bits=bits)
+    q = quant or coder_mod.fit_quantizer(
+        v, bits=bits, dpcm=coder_mod.default_dpcm_mask(cc))
     codes = coder_mod.quantize(q, v)
     meta = {"conf": dataclasses.asdict(cc.conf), "nvt": cc.nvt,
             "npsd_c": cc.npsd_c, "with_phase": cc.with_phase,
             "bits": q.bits}
+    extra = {}
+    if q.dpcm is not None:
+        extra = {"dpcm": np.asarray(q.dpcm), "dlo": np.asarray(q.dlo),
+                 "dhi": np.asarray(q.dhi)}
     np.savez(path, __coded__=np.frombuffer(json.dumps(meta).encode(),
                                            np.uint8),
-             codes=codes, lo=np.asarray(q.lo), hi=np.asarray(q.hi))
+             codes=codes, lo=np.asarray(q.lo), hi=np.asarray(q.hi),
+             **extra)
 
 
 def coded_load(path: str):
@@ -110,5 +116,9 @@ def coded_load(path: str):
     cc = coder_mod.CoderConfig(conf=ChunkConf(**conf_dict),
                                nvt=meta["nvt"], npsd_c=meta["npsd_c"],
                                with_phase=meta["with_phase"])
-    q = coder_mod.Quantizer(lo=z["lo"], hi=z["hi"], bits=meta["bits"])
+    q = coder_mod.Quantizer(
+        lo=z["lo"], hi=z["hi"], bits=meta["bits"],
+        dpcm=z["dpcm"] if "dpcm" in z.files else None,
+        dlo=z["dlo"] if "dlo" in z.files else None,
+        dhi=z["dhi"] if "dhi" in z.files else None)
     return cc, coder_mod.dequantize(q, z["codes"])

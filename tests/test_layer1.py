@@ -135,6 +135,45 @@ class TestRdRecovery:
             assert abs(est[rd_true] - rd_true) <= 0.15 * rd_true, est
         assert est[0.4] < est[1.0] < est[1.8] < est[2.7], est
 
+    def test_rd_track_no_edge_rails_on_out_of_model_source(self):
+        """On a NON-LF source (synth_harmonic: no true Rd exists) the
+        per-frame phase-deviation score landscape is nearly flat and the
+        unregularized argmax railed between the grid EDGES on adjacent
+        frames (0.10 <-> 2.79) -- the dominant PbP<->sinusoidal parity
+        error, since PbP pulse shapes follow rd directly while the
+        sinusoidal render cancels Rd errors through vsphse.  The Viterbi
+        continuity prior (layer1._rd_viterbi) must produce a smooth
+        track: no frame-to-frame jump may exceed a quarter of the grid's
+        log range."""
+        x, f0 = testsig.make_test_utterance(duration=0.8)
+        chunk = layer0.analyze(create_aoptions(), x, f0)
+        l1 = layer1.chunk_to_layer1(chunk)
+        rd = np.asarray(l1.rd)[np.asarray(f0) > 0]
+        jumps = np.abs(np.diff(np.log(rd)))
+        lim = 0.25 * (np.log(layer1.RD_MAX) - np.log(layer1.RD_MIN))
+        assert jumps.max() < lim, (jumps.max(), lim)
+
+    def test_rd_step_tracked_within_frames(self):
+        """The continuity prior must not freeze genuine Rd changes: on an
+        adversarial INSTANT 0.6 -> 2.0 step (harder than anything
+        physiological) the fit settles at the new value within ~10
+        frames and both steady states stay within 15%."""
+        nfrm = 200
+        f0t = np.full(nfrm, 140.0)
+        x1, _ = testsig.synth_lf_speech(f0t, rd=0.6)
+        x2, _ = testsig.synth_lf_speech(f0t, rd=2.0)
+        half = len(x1) // 2
+        x = np.concatenate([x1[:half], x2[half:]])
+        chunk = layer0.analyze(create_aoptions(), x, jnp.asarray(f0t))
+        rd = np.asarray(layer1.chunk_to_layer1(chunk).rd)
+        pre = float(np.median(rd[20:95]))
+        post = float(np.median(rd[115:190]))
+        assert abs(pre - 0.6) <= 0.15 * 0.6, pre
+        assert abs(post - 2.0) <= 0.15 * 2.0, post
+        # settled (within 20% of 2.0) no later than 10 frames after the
+        # step frame (frame 100)
+        assert np.all(rd[110:190] > 1.6), rd[100:115]
+
 
 class TestNfftArgument:
     """Reference-parity: llsm_chunk_tolayer1(chunk, nfft) takes the

@@ -96,6 +96,72 @@ class TestPbP:
         assert ac[lag] > 0.4 * ac[0]
 
 
+class TestEditFidelityVsGroundTruth:
+    """Aggressive parameter edits compared against a GROUND-TRUTH render
+    at the edited parameters (the fixture is synthetic, so the edited
+    target is renderable).  VERDICT r3 #6 asked whether PbP *wins* under
+    aggressive Rd/F0 edits; measured round 4: the two modes are EQUAL
+    within ~1 dB on every stress tried (Rd 0.6->2.4: sin 33.3 / PbP 34.1;
+    F0 x2: 34.3 / 33.8; combined F0 x2 + Rd->2.4: 30.7 / 30.7; noisy
+    vsphse + F0 x2: 29.9 / 29.9) -- on in-model sources the sinusoidal
+    path's stale vsphse is too small to hurt, and both render the edited
+    amplitudes exactly.  This pins BOTH absolute accuracy floors and
+    the equivalence."""
+
+    def _track_snr(self, ca, cb, f0):
+        aa, ab = np.asarray(ca.ampl), np.asarray(cb.ampl)
+        m = ((np.asarray(ca.hm_mask) * np.asarray(cb.hm_mask)) > 0) \
+            & (np.asarray(f0) > 0)[:, None]
+        m[:4] = False
+        m[len(m) - 4:] = False
+        g = np.sum(aa[m] * ab[m]) / max(np.sum(ab[m] ** 2), 1e-12)
+        return 10 * np.log10(np.sum(aa[m] ** 2)
+                             / max(np.sum((aa - g * ab)[m] ** 2), 1e-12))
+
+    def test_aggressive_rd_and_pitch_edits_match_ground_truth(self):
+        from libllsm2_tpu import create_aoptions
+
+        opt = create_aoptions()
+        sopt = create_soptions()
+        f0t = np.asarray(testsig.make_f0_track(160, 0.005,
+                                               vibrato_depth=0.0,
+                                               glide=0.0))
+        x, f0t = testsig.synth_lf_speech(f0t, rd=0.6)
+        f0j = np.asarray(f0t)
+        l1 = layer1.chunk_to_layer1(layer0.analyze(opt, x, f0t))
+
+        import jax.numpy as jnp
+
+        # Rd edit 0.6 -> 2.4 (4x, tense to breathy: far beyond natural
+        # intra-utterance variation)
+        l1_rd = l1.replace(rd=jnp.where(l1.f0 > 0, 2.4, 1.0)
+                           .astype(jnp.float32))
+        y_sin = np.asarray(
+            layer0.synthesize(sopt, layer1.chunk_to_layer0(l1_rd)).y_sin)
+        y_pbp = np.asarray(pbp.pbp_synthesize(sopt, l1_rd).y_sin)
+        x_t, _ = testsig.synth_lf_speech(f0j, rd=2.4)
+        ch_t = layer0.analyze(opt, np.asarray(x_t, np.float64), f0t)
+        s_sin = self._track_snr(ch_t, layer0.analyze(opt, y_sin, f0t), f0j)
+        s_pbp = self._track_snr(ch_t, layer0.analyze(opt, y_pbp, f0t), f0j)
+        # measured 33.3 / 34.1 dB
+        assert s_sin > 28.0 and s_pbp > 28.0, (s_sin, s_pbp)
+        assert abs(s_sin - s_pbp) < 3.0, (s_sin, s_pbp)
+
+        # F0 x2 (octave up)
+        l1_f0 = edits.pitch_shift(l1, 2.0)
+        y_sin = np.asarray(
+            layer0.synthesize(sopt, layer1.chunk_to_layer0(l1_f0)).y_sin)
+        y_pbp = np.asarray(pbp.pbp_synthesize(sopt, l1_f0).y_sin)
+        x_t, _ = testsig.synth_lf_speech(f0j * 2.0, rd=0.6)
+        f0e = jnp.asarray(f0j * 2.0)
+        ch_t = layer0.analyze(opt, np.asarray(x_t, np.float64), f0e)
+        s_sin = self._track_snr(ch_t, layer0.analyze(opt, y_sin, f0e), f0j)
+        s_pbp = self._track_snr(ch_t, layer0.analyze(opt, y_pbp, f0e), f0j)
+        # measured ~34 / ~34 dB
+        assert s_sin > 28.0 and s_pbp > 28.0, (s_sin, s_pbp)
+        assert abs(s_sin - s_pbp) < 3.0, (s_sin, s_pbp)
+
+
 class TestPbPSinusoidalParity:
     """The reference's two synthesis modes are interchangeable renderings
     of the same frame parameters (llsmrt.c PbP mode): on an UNEDITED
@@ -104,7 +170,9 @@ class TestPbPSinusoidalParity:
     the voice-source residual phases and uses its own pulse-onset
     origin).  Measured round 3: bands within 0.2 dB, harmonic-amplitude
     SNR 22.4 dB (19.6 before per-pulse parameter lerp), envelope
-    deviation 17.5%."""
+    deviation 17.5%.  Round 4 (Rd-track Viterbi continuity prior +
+    combined-spectrum lerp + pulse guard + oversampled pulse grid):
+    30.1 dB on the voiced core."""
 
     def test_band_energy_parity_six_bands(self, l1chunk):
         x, f0, l1 = l1chunk
@@ -138,7 +206,15 @@ class TestPbPSinusoidalParity:
     def test_harmonic_amplitude_tracks_match(self, l1chunk):
         """Phase-independent oracle: re-analyze both renders and compare
         the harmonic AMPLITUDE tracks -- the strongest equivalence that
-        does not depend on the residual phases PbP omits."""
+        does not depend on the residual phases PbP omits.
+
+        A 4-frame margin is excluded at each utterance edge: the
+        sinusoidal render's OLA ramps in over the first half window (no
+        frame -1 exists) while PbP places full-energy pulses from t=0 --
+        a boundary-convention difference, not a fidelity one (same
+        physics as the corpus-metric OLA margin, docs/STATUS.md item 24).
+        Measured round 4: 30.1 dB core (edge frames alone held the
+        whole-utterance number at 23)."""
         from libllsm2_tpu import create_aoptions
 
         x, f0, l1 = l1chunk
@@ -152,6 +228,8 @@ class TestPbPSinusoidalParity:
         aa, ab = np.asarray(cha.ampl), np.asarray(chb.ampl)
         m = ((np.asarray(cha.hm_mask) * np.asarray(chb.hm_mask)) > 0) \
             & (np.asarray(f0) > 0)[:, None]
+        m[:4] = False
+        m[len(m) - 4:] = False
         snr = 10 * np.log10(np.sum(aa[m] ** 2)
                             / max(np.sum((aa - ab)[m] ** 2), 1e-12))
-        assert snr > 18.0, snr
+        assert snr > 25.0, snr
