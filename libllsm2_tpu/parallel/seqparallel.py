@@ -144,7 +144,11 @@ def _analyze_local(opt: AnalysisOptions, n_sh: int, n_frm: int, x_blk,
     he = 8                                     # envelope overlap-save halo
     hr = hh + he + 2
     hb = max((2 * hh + 2) * max(1, opt.hm_passes), hr)
-    if min(ha, hb) >= nl:
+    # one-hop ppermute halos require EVERY halo to fit within a single
+    # neighbor shard: _halo's blk[-h:] silently clamps to nl rows when
+    # h > nl (JAX slicing never errors) and all downstream offsets then
+    # index the wrong rows -- so guard on the MAX halo, not the min.
+    if max(ha, hb) >= nl:
         raise ValueError(
             f"frame-sharded analysis needs > {max(ha, hb)} frames per "
             f"shard (halo) -- got {nl}; use fewer devices or more frames")
@@ -175,8 +179,17 @@ def _analyze_local(opt: AnalysisOptions, n_sh: int, n_frm: int, x_blk,
     centers_b = jnp.arange(n_ext, dtype=jnp.int32) * nhop
     cyc_b = _shard_cycles(ax, n_sh, f0_b, nhop, conf.fs, hb, nl)
 
-    assert opt.hm_method == "czt", \
-        "frame-sharded analysis supports hm_method='czt' only"
+    if opt.hm_method != "czt":
+        # documented limitation (docs/PARITY.md "Frame parallelism"): the
+        # "pp" pitch-synchronous framing derives per-frame window spans
+        # from the GLOBAL cycle track before framing, so its halo size is
+        # data-dependent (unbounded at low F0) -- it cannot ride the
+        # static one-hop ppermute halos this module uses.  czt is the
+        # default and the accuracy winner (57.3 vs 28.7 dB, test_ops).
+        raise ValueError(
+            "frame-sharded analysis supports hm_method='czt' only; "
+            f"got {opt.hm_method!r} (pp framing needs data-dependent "
+            "halos -- run it single-device)")
     ampl, phse, mask = harmonics.harmonic_analysis(
         x_b, f0_b, centers_b, cyc_b, fs=conf.fs, max_k=conf.maxnhar,
         halfwin_max=conf.halfwin_max, rel_winsize=conf.rel_winsize,

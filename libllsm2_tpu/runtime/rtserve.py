@@ -174,6 +174,17 @@ class StreamPool:
             counts.append(len(pulse_jobs))
         pulses = None
         if all_jobs:
+            # the shared dispatch renders EVERY stream's pulses on stream
+            # 0's spectral grid -- a stream whose sopt was mutated to a
+            # different pbp_oversample would silently render on the wrong
+            # grid (and wrong guard/irfft sizes), so refuse instead
+            os0 = self.streams[0].sopt.pbp_oversample
+            for (s, rt, _, _, _, pj) in per:
+                if pj and rt.sopt.pbp_oversample != os0:
+                    raise ValueError(
+                        f"stream {s} has pbp_oversample="
+                        f"{rt.sopt.pbp_oversample} != pool's {os0}; all "
+                        "pooled streams must share one spectral grid")
             budget = S * self.streams[0]._pulse_budget()
             budget = -(-budget // self._ndev) * self._ndev
             args = RTSynthesizer._pack_pulse_jobs(conf, all_jobs, budget)

@@ -158,6 +158,20 @@ class RTSynthesizer:
         self.synth_mode = synth_mode
         self._pulse_cycles = 0.0   # cycle phase for PbP onset placement
         self.nhop = conf.nhop
+        # PbP pulses land PULSE_GUARD samples BEFORE their onset (the
+        # fractional-delay kernel's acausal tail).  A pulse whose onset
+        # falls early in hop i can therefore reach back to
+        # i*nhop - PULSE_GUARD, which is BEHIND the previously finalized
+        # point (i-1)*nhop whenever nhop <= PULSE_GUARD (e.g. fs=8000 at
+        # thop=5 ms -> nhop=40) -- the ring would raise BufferError once
+        # the caller reads up to it.  Delay finalization by the guard in
+        # PbP mode so the guard head can never cross the finalized point;
+        # costs PULSE_GUARD samples of extra latency, output unchanged.
+        if synth_mode == "pbp":
+            from ..models.pbp import PULSE_GUARD
+            self._adv_lag = PULSE_GUARD
+        else:
+            self._adv_lag = 0
         self.ring = OLARing(capacity_frames * self.nhop)
         self._pending = None      # one-frame lookahead
         self._prev_f0 = 0.0
@@ -274,7 +288,7 @@ class RTSynthesizer:
             seg = seg[-pos:]
             pos = 0
         self.ring.add(seg, pos)
-        self.ring.advance(i * self.nhop)
+        self.ring.advance(max(0, i * self.nhop - self._adv_lag))
         # advance the cycle accumulator to the next frame center
         self._cycles = (self._cycles
                         + 0.5 * (f0c + (f0_next if f0_next > 0 else f0c))
@@ -550,8 +564,9 @@ class RTSynthesizer:
             self._add_pulse(pulses[p], fi * nhop + oi)
         # finalize only up to the last rendered frame's CENTER: its
         # trailing half-window still receives the next frame's overlap
-        # (matches the per-frame path's advance(i*nhop))
-        self.ring.advance((self._i - 1) * nhop)
+        # (matches the per-frame path's advance(i*nhop)); in PbP mode,
+        # hold back PULSE_GUARD samples for the next group's guard heads
+        self.ring.advance(max(0, (self._i - 1) * nhop - self._adv_lag))
 
     def _render_block(self, queue) -> None:
         """Render queue[0..-2] (queue[-1] is the lookahead) in chunks of

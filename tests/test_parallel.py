@@ -208,6 +208,23 @@ def test_frame_sharded_analysis_pallas_path():
                                atol=2e-3)
 
 
+def test_frame_sharded_analysis_rejects_undersized_shards():
+    """Advisor r4 (high): with the default config ha=17 < hb=22, so shard
+    sizes nl in (ha, hb] passed the old min() guard while _halo's blk[-h:]
+    silently clamped (JAX slicing never errors) and every downstream
+    offset indexed the wrong rows -- the sharded analysis returned
+    silently corrupted tracks.  One-hop ppermute halos require EVERY halo
+    to fit in one neighbor shard, so the guard must be on max(ha, hb)."""
+    opt = create_aoptions()   # default conf: the advisor's exact scenario
+    nfrm = 160                # nl = 20 on 8 shards: inside (ha=17, hb=22]
+    nhop = opt.conf.nhop
+    x = np.zeros(nfrm * nhop, np.float32)
+    f0 = np.full((nfrm,), 140.0, np.float32)
+    m = meshlib.make_mesh(8, frame_parallel=8)
+    with pytest.raises(ValueError, match="frames per"):
+        seqparallel.analyze_frame_sharded(opt, x, f0, m)
+
+
 def test_frame_sharded_analysis_actually_partitions():
     """VERDICT r3 weak #3: prove the frame-parallel analysis PARTITIONS
     the compute rather than all-gathering and replicating.  Two checks on

@@ -118,6 +118,28 @@ class TestStreamingPbP:
         ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
         assert ac[lag - 3:lag + 4].max() > 0.3 * ac[0]
 
+    def test_stream_pbp_small_nhop(self):
+        """nhop <= PULSE_GUARD regression (advisor r4): a pulse whose
+        onset falls early in a hop reaches PULSE_GUARD samples back,
+        BEHIND the previously finalized point when nhop <= 64 -- the
+        eager-fetch loop then made ring.add raise BufferError.  Fixed by
+        lagging finalization by the guard in PbP mode; pin that the
+        2.5 ms-hop (nhop=40) stream runs and still matches offline PbP."""
+        from libllsm2_tpu.models import layer1, pbp as pbpmod
+        from libllsm2_tpu.utils import metrics
+        x, f0 = testsig.make_test_utterance(duration=0.4, thop=0.0025)
+        aopt = create_aoptions(thop=0.0025)
+        assert aopt.conf.nhop == 40
+        chunk = layer1.chunk_to_layer1(layer0.analyze(aopt, x, f0))
+        sopt = create_soptions()
+        y_off = np.asarray(pbpmod.pbp_synthesize(sopt, chunk).y_sin)
+        for block in (0, 16):   # per-frame and grouped paths both had it
+            y_st = np.asarray(rtsynth.stream_chunk(
+                sopt, chunk, synth_mode="pbp", block=block))
+            n = min(len(y_st), len(y_off))
+            s = metrics.snr_db(y_off[:n], y_st[:n])
+            assert s > 30.0, (block, s)
+
 
 def test_reset_allows_reuse():
     x, f0 = testsig.make_test_utterance(duration=0.3)
