@@ -344,7 +344,7 @@ def _denoise_floor_stats(pp, cs2_m, r2, amp2_m, ok):
     return v, wmul
 
 
-def _spectral_gate(c_s, r_inc, guard, v, mask, thop: float,
+def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
                    cutoff_hz: float, a_spec: float):
     """Per-frame-frequency-bin noise gate on the SLOW track component
     (AnalysisOptions.track_denoise_spectral).
@@ -373,7 +373,25 @@ def _spectral_gate(c_s, r_inc, guard, v, mask, thop: float,
     at all -- the protection whose absence killed the round-2 per-bin
     Wiener attempt (config.py track_lowpass_hz note).
 
+    TIME-LOCALITY (round-5 fix of the voiced-fricative regression): the
+    per-track statistics (v, lev_k) are whole-utterance, but a track can
+    be noisy only PART of the time -- e.g. harmonics k=26..28 of a /z/
+    glide in and out of the 3 kHz frication band as F0 moves.  One
+    global FFT gate subtracts a flat per-bin level from the WHOLE track,
+    which redistributes error into the track's clean spans (measured:
+    the overall track error vs truth IMPROVED while the 2.4-2.8 kHz
+    render error grew 13x, concentrated exactly in the low-F0 spans
+    where those tracks dip below the frication band -- 10.7 dB of
+    voiced-band damage, tests/test_voiced_fricative.py).  So the gated
+    slow track is BLENDED with the raw one per (frame, k) by a local
+    noisiness weight w_loc derived from the frame-smoothed probe power
+    pp: full subtraction where the local probe power reaches the
+    track's floor v, none where the track is locally clean.  On
+    stationary noise lp ~ v everywhere so w_loc ~ 1 and the r4 gains
+    are retained (re-measured within 0.1 dB).
+
     c_s, r_inc: [N, K] complex slow part / post-fit fast residual.
+    pp: [N, K] per-frame incoherent probe power (pass A).
     guard: [N, 1] bool.  v: [K] guarded floor (0 = clean/unknown).
     Returns the gated slow part (unguarded rows returned as-is).
     """
@@ -421,6 +439,28 @@ def _spectral_gate(c_s, r_inc, guard, v, mask, thop: float,
     # tracks the time-domain guards called clean
     g = jnp.where((jnp.sum(wk) >= 3.0) & engaged[None, :], g, 1.0)
     s_dn = jnp.fft.ifft(g * Xs, axis=0)[:N]
+
+    # local-noisiness blend (see docstring): smooth the per-frame probe
+    # power over ~the slow window, compare to the track floor
+    M = int(round(1.0 / (thop * cutoff_hz))) | 1
+    wl = jnp.asarray(_np.hanning(M + 2)[1:-1], FP)
+    wl = wl / jnp.sum(wl)
+    okf = (guard & (mask > 0)).astype(FP)
+    h = M // 2
+    num = jnp.zeros_like(okf)
+    den = jnp.zeros_like(okf)
+    for j in range(M):
+        num = num + wl[j] * _shift_rows(pp * okf, j - h, N)
+        den = den + wl[j] * _shift_rows(okf, j - h, N)
+    lp = num / jnp.maximum(den, 1e-9)
+    # full subtraction once the local probe power reaches half the
+    # whole-track floor (a stationary track's lp fluctuates ~+-35%
+    # around v at this smoothing; 0.5 keeps its weight pinned at 1),
+    # none below v/6 -- measured: stationary noisy gains unchanged,
+    # fricative crossing tracks fully protected in their clean spans
+    w_loc = jnp.clip(3.0 * lp / jnp.maximum(v[None, :], 1e-30) - 0.5,
+                     0.0, 1.0)
+    s_dn = c_s + w_loc * (s_dn - c_s)
     return jnp.where(guard, s_dn, c_s)
 
 
@@ -574,7 +614,7 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         # hybrid: per-bin spectral gate on the slow part (sparse true
         # spectrum there), per-frame time gate on the fast residual
         # (true fast dynamics are impulsive in time, flat in f)
-        s_dn = _spectral_gate(c_s, r_inc, guard, v, mask, conf.thop,
+        s_dn = _spectral_gate(c_s, r_inc, pp, guard, v, mask, conf.thop,
                               cutoff_hz, a_spec)
         out = s_dn + r_coh + g * r_inc
     else:

@@ -44,12 +44,16 @@ def _setup():
 def test_voiced_band_snr_with_strong_frication():
     """The harmonics BELOW the frication band must survive the strong
     in-band noise above them (and the default denoiser must not damage
-    them -- measured 44.8 dB with it on, 44.3 off; floor at 40)."""
+    them).  Round-4 regression caught here: the global-FFT spectral gate
+    subtracted a whole-utterance noise level from tracks k=26..28, which
+    glide in and out of the frication band as F0 moves -- eating their
+    CLEAN low-F0 spans (34.1 dB).  Fixed with the per-frame local-
+    noisiness blend in layer0._spectral_gate (44.9 measured); floor 44."""
     x, f0, xh, cycles, out, lo, hi = _setup()
     ysin = np.asarray(out.y_sin)
     s = metrics.snr_db(_bp(xh[lo:hi], 0, 2800), _bp(ysin[lo:hi], 0, 2800),
                        trim=0.0)
-    assert s > 40.0, s
+    assert s > 44.0, s
 
 
 def test_frication_modulation_depth_reproduced():
