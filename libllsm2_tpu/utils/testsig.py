@@ -140,10 +140,24 @@ def synth_lf_speech(f0_frames, rd=1.0, fs=16000.0, thop=0.005,
     voiced_s = f0_s > 1.0
     cycles = np.cumsum(np.where(voiced_s, f0_s, 0.0)) / fs
 
-    p = lf.lf_from_rd(float(rd))
     # sample the pulse shape within each cycle: u[n] = E(frac(cycles[n]))
     phase = cycles % 1.0
-    u = np.asarray(lf.lf_flow_deriv(jnp.asarray(phase, jnp.float32), p))
+    rd_arr = np.asarray(rd, np.float64)
+    if rd_arr.ndim == 0:
+        p = lf.lf_from_rd(float(rd))
+        u = np.asarray(lf.lf_flow_deriv(jnp.asarray(phase, jnp.float32), p))
+    else:
+        # per-frame Rd track, HELD CONSTANT PER GLOTTAL CYCLE (each pulse
+        # has one physical shape -- the ground truth for time-varying
+        # source edits, tests/test_pbp.py PbP-vs-sinusoidal value tests)
+        assert rd_arr.shape == (nfrm,), (rd_arr.shape, nfrm)
+        c_idx = np.floor(cycles).astype(np.int64)
+        ncyc = int(c_idx.max()) + 1
+        onset = np.searchsorted(cycles, np.arange(ncyc))
+        rd_cyc = rd_arr[np.clip(onset // nhop, 0, nfrm - 1)]
+        rd_s = rd_cyc[np.clip(c_idx, 0, ncyc - 1)]
+        p = lf.lf_from_rd(jnp.asarray(rd_s, jnp.float32))
+        u = np.asarray(lf.lf_flow_deriv(jnp.asarray(phase, jnp.float32), p))
     u = u * voiced_s
 
     # all-pole formant filter (cascade of resonators)

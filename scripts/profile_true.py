@@ -214,6 +214,20 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
             return a[0, 0]
         return jnp.sum(jax.vmap(one)(chunks))
 
+    def denoise_spec(eps):
+        # the DEFAULT pipeline path (spectral gate on top of the time
+        # gate; VERDICT r4 weak #2 -- its cost was shipped unpriced)
+        def one(cc):
+            cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
+            a, ph = layer0._track_denoise(
+                conf, cc.f0, cy, centers, cc.ampl + eps, cc.phse,
+                cc.hm_mask, opt.track_denoise_hz,
+                opt.track_denoise_strength, use_pallas=True,
+                spectral=opt.track_denoise_spectral,
+                a_spec=opt.track_spectral_strength)
+            return a[0, 0]
+        return jnp.sum(jax.vmap(one)(chunks))
+
     def deconv(eps):
         def one(cc):
             cy = harmonics.sample_cycles(cc.f0, nhop, conf.fs, nx)
@@ -239,7 +253,8 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
                      ("synthesis", syn), ("proj1", proj),
                      ("refine", refine), ("cyc", cyc_fn), ("osc", osc),
                      ("noise", noise), ("env", env),
-                     ("denoise", denoise), ("deconv", deconv)]:
+                     ("denoise", denoise), ("denoise_spec", denoise_spec),
+                     ("deconv", deconv)]:
         try:
             timed(name, fn)
         except Exception as e:  # OOM etc -- keep going
@@ -253,7 +268,7 @@ def main(batch=32, duration=8.0, repeats=4, iters=3, cpu=0):
     for name in ["pipeline", "analysis", "ana_norefine", "ana_1pass",
                  "envchan", "envpass", "bandenv", "synthesis", "proj1",
                  "refine", "cyc", "osc", "noise", "env", "denoise",
-                 "deconv"]:
+                 "denoise_spec", "deconv"]:
         w = results.get(name + "_wall_s")
         if w is None:
             continue
