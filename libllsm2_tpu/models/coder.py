@@ -184,13 +184,24 @@ class Quantizer:
     source-spectrum nulls, so the 8-bit absolute step of 0.011 Rd
     de-coheres pulse shapes frame to frame (render SNR 14 dB --
     docs/STATUS.md item 34); closed-loop DPCM tracks the smooth
-    (Viterbi-regularized) Rd contour to ~1e-3."""
+    (Viterbi-regularized) Rd contour to ~1e-3.
+
+    f0_slot (round-5 fix -- without it DPCM measured WORSE than absolute
+    coding: voicing-boundary Rd jumps of ~1.4 blew the fitted max-|diff|
+    delta range up 100x, scripts/rate_distortion.py): index of the F0
+    slot.  When set, the delta range is fitted from voiced->voiced
+    consecutive diffs only, unvoiced frames are coded ABSOLUTE, and the
+    closed loop re-syncs absolute at each voiced-run ONSET.  The decoder
+    recovers the identical voicing flags from the decoded F0 slot (its
+    zeros round-trip bit-exactly by the lo-forcing rule above), so no
+    side channel is needed."""
     lo: "object"            # np.ndarray [dims] float32
     hi: "object"            # np.ndarray [dims] float32
     bits: int = 8
     dpcm: "object" = None   # np.ndarray [dims] bool, or None
     dlo: "object" = None    # np.ndarray [dims] float32 (DPCM slots)
     dhi: "object" = None
+    f0_slot: "object" = None   # int, or None (legacy: no voicing resync)
 
     @property
     def step(self):
@@ -217,14 +228,28 @@ def default_dpcm_mask(coder: CoderConfig):
     return mask
 
 
+def f0_slot(coder: CoderConfig) -> int:
+    """Index of the F0 slot in the coder vector (for
+    fit_quantizer(f0_slot=...): voicing-aware DPCM resync)."""
+    for name, off, size in coder.layout():
+        if name == "f0":
+            return off
+    raise ValueError("coder layout has no f0 slot")
+
+
 def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1,
-                  dpcm=None) -> Quantizer:
+                  dpcm=None, f0_slot=None) -> Quantizer:
     """Fit per-slot ranges on a reference set of encoded vectors
     ([N, dims] or [B, N, dims]).
 
     dpcm: optional bool mask [dims] (see default_dpcm_mask) -- those
     slots get a delta range fitted from the frame-to-frame diffs (max
-    |diff| + 25% slew headroom, symmetric) and are coded closed-loop."""
+    |diff| + 25% slew headroom, symmetric) and are coded closed-loop.
+    f0_slot: optional F0 slot index (see Quantizer docstring): the delta
+    range is then fitted from voiced->voiced diffs only and the closed
+    loop re-syncs absolute at voicing boundaries -- without this,
+    voicing-boundary jumps blow the delta range up ~100x and DPCM codes
+    WORSE than absolute (measured round 5)."""
     import numpy as np
     vv = np.asarray(vectors, np.float32)
     v = vv.reshape(-1, vv.shape[-1])
@@ -236,20 +261,39 @@ def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1,
     dlo = dhi = None
     if dpcm is not None:
         dpcm = np.asarray(dpcm, bool)
-        d = np.abs(np.diff(vv.reshape(-1, vv.shape[-2], vv.shape[-1])
-                           if vv.ndim > 2 else vv[None], axis=1))
+        vr = vv.reshape(-1, vv.shape[-2], vv.shape[-1]) \
+            if vv.ndim > 2 else vv[None]
+        d = np.abs(np.diff(vr, axis=1))                  # [B, N-1, dims]
+        if f0_slot is not None and d.size:
+            pair_v = (vr[:, 1:, int(f0_slot)] > 0) \
+                & (vr[:, :-1, int(f0_slot)] > 0)         # [B, N-1]
+            d = np.where(pair_v[:, :, None], d, 0.0)
         dmax = d.max(axis=(0, 1)) if d.size else np.zeros(vv.shape[-1])
         # headroom for closed-loop slew after a saturated step; floor so
         # an all-constant slot still gets a usable (tiny) range
         r = np.maximum(1.25 * dmax, 1e-4).astype(np.float32)
         dlo, dhi = -r, r
     return Quantizer(lo=lo, hi=hi, bits=int(bits), dpcm=dpcm,
-                     dlo=dlo, dhi=dhi)
+                     dlo=dlo, dhi=dhi,
+                     f0_slot=None if f0_slot is None else int(f0_slot))
+
+
+def _dpcm_voiced(q: Quantizer, codes_2d):
+    """Voicing flags [B, N] from the coded F0 slot (decoder-side exact:
+    the lo-forcing rule makes F0's zeros round-trip bit-exactly).
+    Returns all-True when the quantizer has no f0_slot (legacy)."""
+    import numpy as np
+    if q.f0_slot is None:
+        return np.ones(codes_2d.shape[:2], bool)
+    s = int(q.f0_slot)
+    return (q.lo[s] + codes_2d[:, :, s] * q.step[s]) > 0
 
 
 def quantize(q: Quantizer, vectors):
     """[..., N, dims] float -> uint8/uint16 codes (saturating).  DPCM
-    slots (q.dpcm) are coded closed-loop along the frame axis."""
+    slots (q.dpcm) are coded closed-loop along the frame axis; with
+    q.f0_slot set, unvoiced frames and voiced-run ONSETS are coded
+    absolute (re-sync points the decoder recovers from the F0 slot)."""
     import numpy as np
     v = np.asarray(vectors, np.float32)
     levels = (1 << q.bits) - 1
@@ -259,13 +303,18 @@ def quantize(q: Quantizer, vectors):
         dlo, dstep = q.dlo[m], q.dstep[m]
         flat = v.reshape(-1, *v.shape[-2:])
         out = codes.reshape(-1, *v.shape[-2:])
+        voiced = _dpcm_voiced(q, out)
         # frame 0 stays the absolute code; decoder state starts there
         recon = q.lo[m] + out[:, 0][:, m] * q.step[m]
+        prev_v = voiced[:, 0]
         for n in range(1, v.shape[-2]):
+            use_d = (voiced[:, n] & prev_v)[:, None]
             delta = np.clip(flat[:, n][:, m] - recon, dlo, q.dhi[m])
             c = np.round((delta - dlo) / dstep)
-            out[:, n][:, m] = c
-            recon = recon + dlo + c * dstep
+            abs_recon = q.lo[m] + out[:, n][:, m] * q.step[m]
+            out[:, n][:, m] = np.where(use_d, c, out[:, n][:, m])
+            recon = np.where(use_d, recon + dlo + c * dstep, abs_recon)
+            prev_v = voiced[:, n]
         codes = out.reshape(v.shape)
     return codes.astype(np.uint8 if q.bits <= 8 else np.uint16)
 
@@ -280,10 +329,15 @@ def dequantize(q: Quantizer, codes):
         dlo, dstep = q.dlo[m], q.dstep[m]
         flat = c.reshape(-1, *c.shape[-2:])
         out = v.reshape(-1, *c.shape[-2:])
+        voiced = _dpcm_voiced(q, flat)
         recon = out[:, 0][:, m]
+        prev_v = voiced[:, 0]
         for n in range(1, c.shape[-2]):
-            recon = recon + dlo + flat[:, n][:, m] * dstep
+            use_d = (voiced[:, n] & prev_v)[:, None]
+            recon = np.where(use_d, recon + dlo + flat[:, n][:, m] * dstep,
+                             out[:, n][:, m])
             out[:, n][:, m] = recon
+            prev_v = voiced[:, n]
         v = out.reshape(c.shape)
     return v
 

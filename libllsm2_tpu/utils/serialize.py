@@ -81,23 +81,39 @@ def coded_save(path: str, cc, vectors, bits: int = 8,
     leaves serialization to the caller -- SURVEY.md section 5).
 
     cc: models.coder.CoderConfig; vectors: [N, cc.dims] float encodes.
-    bits: 8 (4x smaller than float32, render-transparent to ~30+ dB) or
-    16 (near-lossless).  Pass a prefitted models.coder.Quantizer to
-    share one codebook across many files (recommended for a corpus:
-    per-file ranges would make files non-interchangeable)."""
+    bits: 8 (4x smaller than float32) or 16 (near-lossless).  Pass a
+    prefitted models.coder.Quantizer to share one codebook across many
+    files (recommended for a corpus: per-file ranges would make files
+    non-interchangeable).
+
+    At bits=8 the F0 slot additionally rides a 16-bit SIDE ARRAY
+    (+2 bytes/frame = +0.8%): slot ablation (round 5) measured the
+    8-bit F0 step (~1 Hz over a corpus range) as THE waveform-SNR
+    bottleneck -- decode re-propagates phases from F0, so a 0.5% pitch
+    step decorrelates the render within ~20 frames (16 dB with only F0
+    quantized vs 36 dB with only Rd) while every parametric metric
+    stays clean.  The 16-bit F0 restores phase-coherent decodes."""
     from ..models import coder as coder_mod
 
     v = np.asarray(vectors, np.float32)
     q = quant or coder_mod.fit_quantizer(
-        v, bits=bits, dpcm=coder_mod.default_dpcm_mask(cc))
+        v, bits=bits, dpcm=coder_mod.default_dpcm_mask(cc),
+        f0_slot=coder_mod.f0_slot(cc))
     codes = coder_mod.quantize(q, v)
     meta = {"conf": dataclasses.asdict(cc.conf), "nvt": cc.nvt,
             "npsd_c": cc.npsd_c, "with_phase": cc.with_phase,
-            "bits": q.bits}
+            "bits": q.bits,
+            "f0_slot": None if q.f0_slot is None else int(q.f0_slot)}
     extra = {}
     if q.dpcm is not None:
         extra = {"dpcm": np.asarray(q.dpcm), "dlo": np.asarray(q.dlo),
                  "dhi": np.asarray(q.dhi)}
+    if q.bits <= 8 and q.f0_slot is not None:
+        s = int(q.f0_slot)
+        step16 = max(float(q.hi[s] - q.lo[s]), 1e-12) / 65535.0
+        extra["f016"] = np.round(
+            (np.clip(v[..., s], q.lo[s], q.hi[s]) - q.lo[s])
+            / step16).astype(np.uint16)
     np.savez(path, __coded__=np.frombuffer(json.dumps(meta).encode(),
                                            np.uint8),
              codes=codes, lo=np.asarray(q.lo), hi=np.asarray(q.hi),
@@ -120,5 +136,12 @@ def coded_load(path: str):
         lo=z["lo"], hi=z["hi"], bits=meta["bits"],
         dpcm=z["dpcm"] if "dpcm" in z.files else None,
         dlo=z["dlo"] if "dlo" in z.files else None,
-        dhi=z["dhi"] if "dhi" in z.files else None)
-    return cc, coder_mod.dequantize(q, z["codes"])
+        dhi=z["dhi"] if "dhi" in z.files else None,
+        f0_slot=meta.get("f0_slot"))
+    v = coder_mod.dequantize(q, z["codes"])
+    if "f016" in z.files and q.f0_slot is not None:
+        s = int(q.f0_slot)
+        step16 = max(float(q.hi[s] - q.lo[s]), 1e-12) / 65535.0
+        v[..., s] = (q.lo[s]
+                     + z["f016"].astype(np.float32) * step16)
+    return cc, v

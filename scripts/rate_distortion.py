@@ -103,7 +103,11 @@ def measure(name, bits, vec_list, ref_renders, f0s, cc, opt, sopt):
 def main(quick=False):
     sopt = create_soptions()
     vecs, f0s, cc, opt = build_corpus(n_utt=3 if quick else 6)
-    data = np.concatenate(vecs, axis=0)
+    # STACK, do not concatenate: the DPCM delta range is fitted from
+    # frame-to-frame diffs along axis -2, and concatenation would let
+    # cross-utterance jumps (e.g. Rd 0.6 -> 2.4 between voices) inflate
+    # it ~100x (measured round 5: DPCM coded WORSE than absolute)
+    data = np.stack(vecs, axis=0)
     ref_renders = [render(cc, sopt, v) for v in vecs]
     print(f"{'transport':<12} {'bits/f':>6}   (vs float32 decode render)")
 
@@ -114,13 +118,44 @@ def main(quick=False):
         measure(f"int{bits}", cc.dims * bits, dq, ref_renders, f0s,
                 cc, opt, sopt)
     q = coder.fit_quantizer(data, bits=8,
-                            dpcm=coder.default_dpcm_mask(cc))
+                            dpcm=coder.default_dpcm_mask(cc),
+                            f0_slot=coder.f0_slot(cc))
     dq = [coder.dequantize(q, coder.quantize(q, v)) for v in vecs]
     measure("int8+dpcm", cc.dims * 8, dq, ref_renders, f0s, cc, opt, sopt)
 
-    # VQ token codec at three bit budgets
-    norm = neural.Normalizer(data)
-    dn = jnp.asarray(norm.fwd(data), jnp.float32)
+    # the archive transport: + a 16-bit F0 side array (slot ablation
+    # measured the 8-bit F0 step as THE waveform bottleneck: decode
+    # re-propagates phases from F0, so a ~1 Hz step decorrelates the
+    # render; +2 bytes/frame buys waveform coherence back)
+    import os
+    import tempfile
+    from libllsm2_tpu.utils import serialize
+    dq = []
+    with tempfile.TemporaryDirectory() as td:
+        for i, v in enumerate(vecs):
+            p = os.path.join(td, f"u{i}.npz")
+            serialize.coded_save(p, cc, v, bits=8, quant=q)
+            dq.append(serialize.coded_load(p)[1])
+    measure("int8+f0_16", cc.dims * 8 + 8, dq, ref_renders, f0s,
+            cc, opt, sopt)
+    # waveform SNR for the F0-sensitive transports (the metric the
+    # parametric table above cannot see)
+    for name, dql in (("int8", [coder.dequantize(
+            coder.fit_quantizer(data, bits=8),
+            coder.quantize(coder.fit_quantizer(data, bits=8), v))
+            for v in vecs]),
+                      ("int8+f0_16", dq)):
+        snrs = []
+        for v, y_ref, f0 in zip(dql, ref_renders, f0s):
+            y = render(cc, sopt, v)
+            n = min(len(y), len(y_ref))
+            snrs.append(metrics.snr_db(y_ref[:n], y[:n]))
+        print(f"{name:<12} waveform snr {np.mean(snrs):5.1f} dB")
+
+    # VQ token codec at three bit budgets (frame-set training: flat view)
+    flat = data.reshape(-1, data.shape[-1])
+    norm = neural.Normalizer(flat)
+    dn = jnp.asarray(norm.fwd(flat), jnp.float32)
     for codebook in (16, 64, 256):
         cfg = vq.VQConfig(dims=cc.dims, hidden=96, latent=16, depth=1,
                           groups=4, codebook=codebook, lr=2e-3)

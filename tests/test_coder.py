@@ -246,3 +246,120 @@ def test_quantized_transport_roundtrip(l1chunk, tmp_path):
     np.testing.assert_array_equal(v2, v8)
     import os
     assert os.path.getsize(path) < 0.5 * v.nbytes
+
+
+def test_dpcm_voicing_resync():
+    """Round-5 fix: DPCM delta ranges fitted over max |diff| were blown
+    up ~100x by voicing-boundary jumps (the slot flips to its unvoiced
+    default), making DPCM code WORSE than absolute.  With f0_slot set,
+    the range is fitted from voiced->voiced diffs only and the closed
+    loop re-syncs ABSOLUTE at unvoiced frames and voiced-run onsets --
+    the decoder recovers identical voicing from the F0 slot's bit-exact
+    zeros.  Synthetic vectors pin the semantics deterministically."""
+    rng = np.random.default_rng(0)
+    B, N, D = 2, 120, 4
+    f0 = np.zeros((B, N), np.float32)
+    f0[:, 10:60] = 150.0
+    f0[:, 70:110] = 220.0
+    rd = np.where(f0 > 0, 0.0, 1.0).astype(np.float32)
+    rd[0, 10:60] = 2.3 + np.cumsum(rng.normal(0, 0.003, 50))
+    rd[0, 70:110] = 0.5 + np.cumsum(rng.normal(0, 0.003, 40))
+    rd[1, 10:60] = 0.9 + np.cumsum(rng.normal(0, 0.003, 50))
+    rd[1, 70:110] = 1.8 + np.cumsum(rng.normal(0, 0.003, 40))
+    v = np.zeros((B, N, D), np.float32)
+    v[:, :, 0] = f0
+    v[:, :, 1] = rd
+    v[:, :, 2:] = rng.normal(0, 1, (B, N, 2))
+    mask = np.array([False, True, False, False])
+
+    q_leg = coder.fit_quantizer(v, bits=8, dpcm=mask)
+    q_new = coder.fit_quantizer(v, bits=8, dpcm=mask, f0_slot=0)
+    # the legacy range is dominated by the ~1.8 voicing-boundary jump;
+    # the voiced-only range sees only the 3e-3 random walk
+    assert q_new.dhi[1] < 0.05 * q_leg.dhi[1], (q_new.dhi[1], q_leg.dhi[1])
+
+    voiced = f0 > 0
+    dv_leg = coder.dequantize(q_leg, coder.quantize(q_leg, v))
+    leg_err = np.abs((dv_leg - v)[:, :, 1])[voiced].max()
+    dv_new = coder.dequantize(q_new, coder.quantize(q_new, v))
+    new_err = np.abs((dv_new - v)[:, :, 1])[voiced].max()
+    # voiced-run ONSET frames are absolute-coded (re-sync): error up to
+    # half the absolute step; interior frames track at the (tiny) dstep
+    assert new_err < 0.6 * q_new.step[1], (new_err, q_new.step[1])
+    # interior voiced frames (not onsets) track at delta resolution --
+    # the legacy blown-up dstep leaves them ~50x worse
+    interior = voiced.copy()
+    interior[:, [10, 70]] = False
+    int_new = np.abs((dv_new - v)[:, :, 1])[interior].max()
+    int_leg = np.abs((dv_leg - v)[:, :, 1])[interior].max()
+    assert int_new < 20.0 * q_new.dstep[1], (int_new, q_new.dstep[1])
+    assert int_new < 0.2 * int_leg, (int_new, int_leg)
+    assert leg_err >= new_err  # and the overall max never regresses
+    # unvoiced frames are coded absolute: the default value round-trips
+    dv = coder.dequantize(q_new, coder.quantize(q_new, v))
+    assert np.abs((dv - v)[:, :, 1])[~voiced].max() < 0.02
+
+
+def test_coded_archive_f0_side_channel(l1chunk, tmp_path):
+    """The bits=8 archive stores F0 on a 16-bit side array (+0.8%
+    size): slot ablation measured the 8-bit F0 step as THE waveform
+    bottleneck (decode re-propagates phases from F0; 16 dB with only F0
+    quantized vs 36 with only Rd).  Measured on the 4-voice corpus:
+    archive waveform SNR 16.0 -> 44.7 dB.  Pin: F0 error at 16-bit
+    scale, voicing exact, waveform floor."""
+    from libllsm2_tpu import create_soptions
+    from libllsm2_tpu.models import layer0 as l0
+    from libllsm2_tpu.utils import serialize
+
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = np.asarray(coder.encode(cc, l1))
+    path = str(tmp_path / "utt8.llsm.npz")
+    serialize.coded_save(path, cc, v, bits=8)
+    cc2, v2 = serialize.coded_load(path)
+    voiced = v[:, 0] > 0
+    assert np.array_equal(v2[:, 0] == 0.0, ~voiced)
+    # 16-bit step accuracy vs the RANGE-CLIPPED reference (the robust
+    # percentile lo/hi clips a couple of extreme frames by design)
+    q = coder.fit_quantizer(v, bits=8, dpcm=coder.default_dpcm_mask(cc),
+                            f0_slot=coder.f0_slot(cc))
+    ref = np.clip(v[voiced, 0], q.lo[0], q.hi[0])
+    step16 = (q.hi[0] - q.lo[0]) / 65535.0
+    assert np.abs(v2[voiced, 0] - ref).max() < 2.0 * step16
+    sopt = create_soptions()
+    y0 = np.asarray(l0.synthesize(sopt, coder.decode(cc, v)).y_sin)
+    yq = np.asarray(l0.synthesize(sopt, coder.decode(cc, v2)).y_sin)
+    n = min(len(y0), len(yq))
+    lo, hi = int(0.05 * n), int(0.95 * n)
+    snr = 10 * np.log10(np.sum(y0[lo:hi] ** 2)
+                        / max(np.sum((y0[lo:hi] - yq[lo:hi]) ** 2), 1e-12))
+    assert snr > 25.0, snr
+
+
+def test_transport_mcd_floors(l1chunk):
+    """Rate-distortion MCD floors (VERDICT r4 #3; full table in
+    BASELINE.md from scripts/rate_distortion.py): int16 is MCD-exact,
+    int8 with voicing-aware DPCM stays near-transparent."""
+    from libllsm2_tpu import create_soptions
+    from libllsm2_tpu.models import layer0 as l0
+    from libllsm2_tpu.utils import metrics
+
+    x, l1 = l1chunk
+    cc = coder.CoderConfig(conf=l1.conf)
+    v = np.asarray(coder.encode(cc, l1))
+    sopt = create_soptions()
+    y0 = np.asarray(l0.synthesize(sopt, coder.decode(cc, v)).y_sin)
+
+    def mcd_of(bits, dpcm=False):
+        kw = dict(dpcm=coder.default_dpcm_mask(cc),
+                  f0_slot=coder.f0_slot(cc)) if dpcm else {}
+        q = coder.fit_quantizer(v, bits=bits, **kw)
+        dv = coder.dequantize(q, coder.quantize(q, v))
+        y = np.asarray(l0.synthesize(sopt,
+                                     coder.decode(cc, dv)).y_sin)
+        n = min(len(y0), len(y))
+        return metrics.mel_cepstral_distortion_db(y0[:n], y[:n],
+                                                  fs=cc.conf.fs)
+
+    assert mcd_of(16) < 0.05
+    assert mcd_of(8, dpcm=True) < 0.3

@@ -15,13 +15,19 @@ Measured floors (round 3):
   the envelope misses.
 - Rd recovery: exact (within ~1%) when harmonics SAMPLE the notch;
   degraded (measured 0.61 for true 1.0) in the adversarial case of a
-  60 Hz-wide zero exactly BETWEEN harmonics at f0 = 200 -- the notch
-  depth is then unobservable per frame and its unseen ~pi phase step
-  contaminates the minphase reference.  Two mitigations ship: the fit
-  is confined below the nasal-zero region (k*f0 < 700 Hz, classic
-  H1-Hk measures) and one IRLS pass downweights phase-residual
-  outliers; they recover the mid-gap case from 0.35 to 0.61 and the
-  sampled-zero cases to ~1%.
+  60 Hz-wide zero exactly BETWEEN harmonics at f0 = 200.  Two
+  mitigations ship: the fit is confined below the nasal-zero region
+  (k*f0 < 1000 Hz, classic H1-Hk measures) and one IRLS pass
+  downweights phase-residual outliers.
+
+Round-5 REATTRIBUTION: the 'mid-gap' bias does NOT come from the zero
+-- no-zero controls at f0 = 182/200 show the same bias, which follows
+the sharp F1 = 250 Hz POLE falling between harmonics 1 and 2 (see
+test_rd_midgap_bias_follows_the_pole_not_the_zero).  The explicit
+parametric-section observation model (layer1.fit_rd_sections) recovers
+the mid-gap cases to ~1.0 given the sections; blind section selection
+was measured unreliable and is deliberately not offered (details in
+the fit_rd_sections docstring).
 """
 import numpy as np
 
@@ -108,6 +114,64 @@ def test_rd_midgap_zero_documented_floor():
     assert s > 28.0, s
 
 
+def test_rd_midgap_bias_follows_the_pole_not_the_zero():
+    """Round-5 root-cause REATTRIBUTION of the 'mid-gap zero' story:
+    the same fixtures with NO antiformant at all show the same Rd bias
+    (measured 0.46-0.55 for true 1.0 at f0 = 182/200), while at f0 =
+    120 they recover ~0.97.  The bias follows the sharp F1 = 250 Hz
+    RESONANCE: at f0 >= 180 it falls between harmonics 1 and 2, the
+    sampled envelope misses the peak, and its pseudo-grid minimum phase
+    contaminates the fit -- the identical under-resolution mechanism
+    rounds 3-4 attributed to the zero, caused by a pole.  This test
+    pins the attribution so the story cannot silently regress."""
+    nasal_formants = ((250.0, 70.0), (1100.0, 180.0), (2300.0, 220.0))
+
+    def rd_of(f0_base):
+        f0 = testsig.make_f0_track(200, 0.005, f0_base=f0_base,
+                                   vibrato_depth=0.015, glide=0.1)
+        x, f0t = testsig.synth_lf_speech(f0, rd=1.0,
+                                         formants=nasal_formants,
+                                         zeros=(), noise_level=0.02,
+                                         seed=2)
+        l1 = layer1.chunk_to_layer1(layer0.analyze(OPT, x, f0t))
+        v = np.asarray(f0t) > 0
+        return float(np.median(np.asarray(l1.rd)[v]))
+
+    rd_low, rd_high = rd_of(120.0), rd_of(200.0)
+    assert rd_low > 0.85, rd_low          # F1 sampled: no bias
+    assert rd_high < 0.75, rd_high        # F1 mid-gap: biased, NO zero
+
+
+def test_rd_sections_observation_model_recovers_midgap():
+    """The explicit parametric-section observation model (VERDICT r4
+    #6): given the tract's sharp sections, layer1.fit_rd_sections /
+    chunk_to_layer1(sections=...) subtracts their under-resolution
+    contamination (_resonance_dev) and recovers the mid-gap Rd.
+    Measured: 0.59 -> 0.97 at f0 = 200, 0.56 -> 1.03 at f0 = 182 (true
+    1.0); the well-sampled f0 = 120 case stays within 10%.
+
+    BLIND section selection is deliberately NOT offered: three
+    phase-coherence selection objectives each picked spurious sections
+    on at least one fixture (margins 0.1-1.8%, corrected Rd as far off
+    as 0.11 / 2.13) -- see the fit_rd_sections docstring for the
+    measured details."""
+    secs = ((250.0, 70.0, -1.0), (900.0, 60.0, 1.0))
+    for f0b, floor in ((200.0, 0.8), (182.0, 0.8)):
+        x, f0 = testsig.synth_nasal_utterance(
+            duration=1.0, seed=2, zero=(900.0, 60.0), f0_base=f0b)
+        ch = layer0.analyze(OPT, x, f0)
+        l1 = layer1.chunk_to_layer1(ch, None, secs)
+        v = np.asarray(f0) > 0
+        rd_med = float(np.median(np.asarray(l1.rd)[v]))
+        assert floor < rd_med < 1.25, (f0b, rd_med)
+    # well-sampled control: the correction must not damage it
+    x, f0 = testsig.synth_nasal_utterance(duration=1.0, seed=2)
+    l1 = layer1.chunk_to_layer1(layer0.analyze(OPT, x, f0), None, secs)
+    v = np.asarray(f0) > 0
+    rd_med = float(np.median(np.asarray(l1.rd)[v]))
+    assert 0.9 < rd_med < 1.15, rd_med
+
+
 def test_rd_midgap_bias_is_common_mode_across_frames():
     """VERDICT r3 #8 asked for a multi-frame Rd continuity prior for the
     mid-gap case, or a proof that it cannot help.  This is the proof by
@@ -137,6 +201,11 @@ def test_rd_midgap_bias_is_common_mode_across_frames():
     med_out = float(np.median(rd[v & ~in_notch]))
     # both biased low, and equally so: aggregation across frames cannot
     # separate them (if sampling frames ever become unbiased, a
-    # multi-frame prior becomes worthwhile -- revisit)
+    # multi-frame prior becomes worthwhile -- revisit).
+    # Round-5 note: the bias's dominant SOURCE was reattributed to the
+    # under-resolved F1 pole (test_rd_midgap_bias_follows_the_pole_...),
+    # but the common-mode CONCLUSION stands -- the contamination is
+    # identical in every frame whichever section causes it, so only a
+    # different observation model helps (layer1.fit_rd_sections).
     assert abs(med_in - med_out) < 0.1, (med_in, med_out)
     assert med_out < 0.8, med_out
