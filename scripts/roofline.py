@@ -31,7 +31,7 @@ HBM_PEAK = 819e9
 
 
 def main(batch=32, duration=8.0, proj_ms=12.0, deconv_ms=3.0, osc_ms=5.0,
-         env_ms=6.0, noise_ms=5.0, denoise_ms=3.0):
+         env_ms=6.0, noise_ms=5.0, denoise_ms=3.0, denoise_spec_ms=0.0):
     from libllsm2_tpu.config import ChunkConf
     from libllsm2_tpu.utils import testsig
 
@@ -89,6 +89,20 @@ def main(batch=32, duration=8.0, proj_ms=12.0, deconv_ms=3.0, osc_ms=5.0,
     fl = B * N * K * ((M + Mp) * 4 + 60)
     by = B * N * K * 4 * 2 * 6                  # packed FIR in/out x2 + gate
     row("track denoiser", denoise_ms, fl, by)
+
+    # --- spectral gate on top of the time gate (round-4 default;
+    # denoise_spec_ms = measured denoise_spec - denoise from
+    # profile_true.py): 3 complex [NP, K] frame-axis FFTs (Xs, Xfull's
+    # second transform, inverse) + ~20 elementwise [NP, K] passes
+    # (powers, 3x Winsorize, gains) + the round-5 local-noisiness blend
+    # (2 FIRs x M taps over [N, K]) + pass B's jnp weighted fit
+    if denoise_spec_ms > 0.0:
+        NP = 1 << int(N - 1).bit_length()
+        fl = B * K * (3 * 5 * NP * np.log2(NP)      # FFTs (c64 as 1 flop/b)
+                      + 20 * NP                     # per-bin passes
+                      + N * (2 * M * 4 + 20))       # blend FIRs + fit
+        by = B * K * (NP * 8 * 6 + N * 4 * 10)
+        row("spectral gate (on top of time)", denoise_spec_ms, fl, by)
 
     # --- oscillator bank: per (frame, sample in 2*nhop, live k): 10 ops
     fl = B * N * 2 * nhop * K_live * 10

@@ -6,6 +6,7 @@ import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from libllsm2_tpu import create_aoptions, create_soptions
 from libllsm2_tpu.models import layer0
@@ -427,10 +428,15 @@ def test_osc_bank_interior_mask_notch():
     np.testing.assert_allclose(s_pl, s_ref, atol=2e-4)
 
 
-def test_track_denoise_fused_matches_jnp():
+@pytest.mark.parametrize("spectral", [False, True])
+def test_track_denoise_fused_matches_jnp(spectral):
     """The fused two-pass track denoiser (stats kernel + apply kernel,
     ops.pallas_osc.denoise_*_pallas) must match the jnp formulation on a
-    noisy stressed fixture including unvoiced regions."""
+    noisy stressed fixture including unvoiced regions -- in BOTH the
+    time-gate-only and the default SPECTRAL mode (the spectral branch
+    consumes pass A's pp for the round-5 local-noisiness blend; a
+    convention mismatch between the kernel's pp and the jnp pp would
+    silently skew the blend on TPU only)."""
     import jax.numpy as jnp
 
     x, f0, xh = testsig.synth_hard_utterance(
@@ -446,10 +452,10 @@ def test_track_denoise_fused_matches_jnp():
                                   nfrm * nhop)
     a_j, p_j = layer0._track_denoise(conf, ch.f0, cyc, centers, ch.ampl,
                                      ch.phse, ch.hm_mask, 15.0, 8.0,
-                                     use_pallas=False)
+                                     use_pallas=False, spectral=spectral)
     a_p, p_p = layer0._track_denoise(conf, ch.f0, cyc, centers, ch.ampl,
                                      ch.phse, ch.hm_mask, 15.0, 8.0,
-                                     use_pallas=True)
+                                     use_pallas=True, spectral=spectral)
     scale = float(np.abs(np.asarray(a_j)).max())
     # tolerance: the fit-weight clip boundaries can flip a borderline
     # track between the two arithmetically-reassociated paths
