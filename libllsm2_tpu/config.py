@@ -228,6 +228,14 @@ class AnalysisOptions:
                                  # (self-calibrated per track).  Measured
                                  # optimum ~3 on the bench fixtures; the
                                  # curve is flat between 2 and 4.
+    track_spectral_decimate: int = 4
+                                 # frame-axis decimation of the spectral
+                                 # gate's FFTs (the slow track is
+                                 # cutoff-band-limited, so D = 4 keeps
+                                 # the gating spectrum intact at 1/4 the
+                                 # FFT/bin work; the probe-level FFT
+                                 # stays full-rate).  1 = exact
+                                 # full-rate reference path.
     track_lowpass_hz: float = 0.0
                                  # > 0: lowpass each harmonic's
                                  # phase-aligned complex amplitude track at

@@ -231,7 +231,8 @@ def _analyze_local(opt: AnalysisOptions, n_sh: int, n_frm: int, x_blk,
             conf, f0_g, cycc_g, cg, a_g, p_g, m_g, opt.track_denoise_hz,
             opt.track_denoise_strength, use_pallas=opt.use_pallas,
             spectral=opt.track_denoise_spectral,
-            a_spec=opt.track_spectral_strength)
+            a_spec=opt.track_spectral_strength,
+            spec_decimate=opt.track_spectral_decimate)
     if opt.track_lowpass_hz > 0.0:
         a_g, p_g = layer0._track_lowpass(conf, f0_g, cycc_g, cg, a_g, p_g,
                                          m_g, opt.track_lowpass_hz)
