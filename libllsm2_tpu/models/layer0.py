@@ -533,8 +533,11 @@ def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
     # fricative crossing tracks fully protected in their clean spans
     w_loc = jnp.clip(3.0 * lp / jnp.maximum(v[None, :], 1e-30) - 0.5,
                      0.0, 1.0)
-    s_dn = c_s + w_loc * (s_dn - c_s)
-    return jnp.where(guard, s_dn, c_s)
+    # return the (aligned-domain) subtraction DELTA: callers add it to
+    # their own reconstruction -- the pallas path adds it on top of the
+    # fused apply kernel's output, keeping the whole time-gate chain in
+    # Mosaic (round-5 restructure)
+    return jnp.where(guard, w_loc * (s_dn - c_s), 0.0)
 
 
 def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
@@ -603,8 +606,15 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                                           float(strength))
             return (jnp.sqrt(re * re + im * im) * mask,
                     jnp.arctan2(im, re) * mask)
-        # spectral mode: pass B's weighted fit runs in jnp (the FFT gate
-        # cannot live in Mosaic); pass A's fused FIRs are still reused
+        # spectral mode: pass B's weighted fit + gate run in jnp on the
+        # kernel's aligned/slow tracks (the FFT gate cannot live in
+        # Mosaic).  An apply-kernel-reuse restructure (time gate in the
+        # kernel + only the delta in jnp) was measured 2.4 ms/step
+        # SLOWER at batch 128 (0.1461 vs 0.1437): the kernel's own fit
+        # pass duplicates the jnp fit the delta's probe level needs,
+        # and the extra kernel dispatch + HBM round trip outweighs the
+        # shortened jnp chain.  Do not redo without removing the
+        # duplicated fit (e.g. a kernel r_inc output).
         ph = kh * cyc_c[:, None]
         ph = ph - jnp.round(ph)
         align = jnp.exp(-2j * jnp.pi * ph)
@@ -683,15 +693,14 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
 
     pw = r_inc.real**2 + r_inc.imag**2
     g = jnp.clip(1.0 - strength * v[None, :] / (pw + 1e-20), 0.0, 1.0)
+    out = c_s + r_coh + g * r_inc
     if spectral:
         # hybrid: per-bin spectral gate on the slow part (sparse true
         # spectrum there), per-frame time gate on the fast residual
         # (true fast dynamics are impulsive in time, flat in f)
-        s_dn = _spectral_gate(c_s, r_inc, pp, guard, v, mask, conf.thop,
-                              cutoff_hz, a_spec, decimate=spec_decimate)
-        out = s_dn + r_coh + g * r_inc
-    else:
-        out = c_s + r_coh + g * r_inc
+        out = out + _spectral_gate(c_s, r_inc, pp, guard, v, mask,
+                                   conf.thop, cutoff_hz, a_spec,
+                                   decimate=spec_decimate)
     out = jnp.where(guard, out, c) * jnp.conj(align)
     return jnp.abs(out) * mask, jnp.angle(out) * mask
 

@@ -90,18 +90,23 @@ def main(batch=32, duration=8.0, proj_ms=12.0, deconv_ms=3.0, osc_ms=5.0,
     by = B * N * K * 4 * 2 * 6                  # packed FIR in/out x2 + gate
     row("track denoiser", denoise_ms, fl, by)
 
-    # --- spectral gate on top of the time gate (round-4 default;
-    # denoise_spec_ms = measured denoise_spec - denoise from
-    # profile_true.py): 3 complex [NP, K] frame-axis FFTs (Xs, Xfull's
-    # second transform, inverse) + ~20 elementwise [NP, K] passes
-    # (powers, 3x Winsorize, gains) + the round-5 local-noisiness blend
-    # (2 FIRs x M taps over [N, K]) + pass B's jnp weighted fit
+    # --- spectral gate on top of the time gate (round-5 decimated
+    # structure; denoise_spec_ms = measured denoise_spec - denoise from
+    # profile_true.py): decimated [NPd, K] fft + ifft pair + per-bin
+    # passes at NPd + the low-bin Parseval-complement DFT matmul (MXU;
+    # counted here but its unit differs) + pass B's weighted fit /
+    # delta rotation + the block-granular local-noisiness blend
     if denoise_spec_ms > 0.0:
         NP = 1 << int(N - 1).bit_length()
-        fl = B * K * (3 * 5 * NP * np.log2(NP)      # FFTs (c64 as 1 flop/b)
-                      + 20 * NP                     # per-bin passes
-                      + N * (2 * M * 4 + 20))       # blend FIRs + fit
-        by = B * K * (NP * 8 * 6 + N * 4 * 10)
+        Dd = 4
+        Nd = -(-N // Dd)
+        NPd = 1 << int(Nd - 1).bit_length()
+        L = int(2 * 30.0 * conf.thop * NP)          # |f| <= 2*cutoff bins
+        fl = B * K * (2 * 5 * NPd * np.log2(NPd)    # decimated fft+ifft
+                      + 20 * NPd                    # per-bin passes
+                      + N * 40                      # fit + rotate + blend
+                      + L * N * 8)                  # low-bin DFT (MXU)
+        by = B * K * (NPd * 8 * 6 + N * 4 * 12)
         row("spectral gate (on top of time)", denoise_spec_ms, fl, by)
 
     # --- oscillator bank: per (frame, sample in 2*nhop, live k): 10 ops
