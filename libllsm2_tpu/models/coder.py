@@ -261,6 +261,13 @@ def fit_quantizer(vectors, bits: int = 8, pct: float = 0.1,
     dlo = dhi = None
     if dpcm is not None:
         dpcm = np.asarray(dpcm, bool)
+        if f0_slot is not None and dpcm[int(f0_slot)]:
+            # the voicing flags are recovered from the F0 slot's CODES
+            # on both sides; delta-coding that slot would make the
+            # decoder read deltas as absolutes and corrupt every DPCM
+            # slot downstream
+            raise ValueError("the f0 slot cannot itself be DPCM-coded "
+                             "(it carries the voicing re-sync flags)")
         vr = vv.reshape(-1, vv.shape[-2], vv.shape[-1]) \
             if vv.ndim > 2 else vv[None]
         d = np.abs(np.diff(vr, axis=1))                  # [B, N-1, dims]
