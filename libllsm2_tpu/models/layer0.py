@@ -344,7 +344,7 @@ def _denoise_floor_stats(pp, cs2_m, r2, amp2_m, ok):
     return v, wmul
 
 
-def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
+def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
                    cutoff_hz: float, a_spec: float, decimate: int = 1):
     """Per-frame-frequency-bin noise gate on the SLOW track component
     (AnalysisOptions.track_denoise_spectral).
@@ -390,7 +390,10 @@ def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
     stationary noise lp ~ v everywhere so w_loc ~ 1 and the r4 gains
     are retained (re-measured within 0.1 dB).
 
-    c_s, r_inc: [N, K] complex slow part / post-fit fast residual.
+    c_s: [N, K] complex slow part.  full: [N, K] complex guarded full
+    track where(guard, c_s + r_inc, 0) with r_inc the weighted-fit
+    incoherent residual (precomputed by the caller -- in pallas mode it
+    comes straight out of the apply kernel, saving the jnp passes).
     pp: [N, K] per-frame incoherent probe power (pass A).
     guard: [N, 1] bool.  v: [K] guarded floor (0 = clean/unknown).
     decimate: frame-axis decimation D for the gate's FFTs.  c_s is
@@ -426,7 +429,6 @@ def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
         # the LOW bins' power, computed by a static low-bin DFT matmul
         # -- the full-rate FFT this replaces was the gate's last big
         # VPU-bound transform; the [n_low, N] contraction rides the MXU
-        full = sg + jnp.where(guard, r_inc, 0.0)
         low_n = _np.where(~(_np.abs(f_np) > 2.0 * cutoff_hz))[0]
         Wlow = jnp.asarray(_np.exp(
             (-2j * _np.pi / NP) * _np.outer(low_n, _np.arange(N))
@@ -438,8 +440,7 @@ def _spectral_gate(c_s, r_inc, pp, guard, v, mask, thop: float,
         lev_k = jnp.maximum(tot - low, 0.0) / (nhb * D)
     else:
         Xs = jnp.fft.fft(sg, n=NP, axis=0)                  # [NP, K]
-        Xfull = Xs + jnp.fft.fft(jnp.where(guard, r_inc, 0.0), n=NP,
-                                 axis=0)
+        Xfull = jnp.fft.fft(full, n=NP, axis=0)
         Pfull = Xfull.real**2 + Xfull.imag**2
         lev_k = jnp.sum(jnp.where(hb[:, None], Pfull, 0.0),
                         axis=0) / nhb
@@ -606,21 +607,27 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                                           float(strength))
             return (jnp.sqrt(re * re + im * im) * mask,
                     jnp.arctan2(im, re) * mask)
-        # spectral mode: pass B's weighted fit + gate run in jnp on the
-        # kernel's aligned/slow tracks (the FFT gate cannot live in
-        # Mosaic).  An apply-kernel-reuse restructure (time gate in the
-        # kernel + only the delta in jnp) was measured 2.4 ms/step
-        # SLOWER at batch 128 (0.1461 vs 0.1437): the kernel's own fit
-        # pass duplicates the jnp fit the delta's probe level needs,
-        # and the extra kernel dispatch + HBM round trip outweighs the
-        # shortened jnp chain.  Do not redo without removing the
-        # duplicated fit (e.g. a kernel r_inc output).
-        ph = kh * cyc_c[:, None]
-        ph = ph - jnp.round(ph)
-        align = jnp.exp(-2j * jnp.pi * ph)
-        c = cre + 1j * cim
-        c_s = csr + 1j * csi
-        guard = guard_v[:, None]
+        # spectral mode: the whole time-gate chain (weighted fit + gate
+        # + un-align) runs in the apply kernel, which ALSO emits the
+        # fit's incoherent residual and the un-align rotation factors
+        # (emit_resid) -- so jnp only runs the FFT spectral gate (which
+        # cannot live in Mosaic) and rotates its subtraction delta into
+        # the output domain.  History: an earlier restructure WITHOUT
+        # the r_inc output (kernel time gate + fit REDONE in jnp for
+        # the delta) measured 2.4 ms/step SLOWER at batch 128 (0.1461
+        # vs 0.1437) -- the duplicated fit ate the win; the kernel
+        # residual output is what makes this profitable.
+        re, im, fullr, fulli, ur, ui = denoise_apply_pallas(
+            cre, cim, csr, csi, cyc_c, m, guard_v, v, wmul,
+            float(strength), emit_resid=True)
+        delta = _spectral_gate(csr + 1j * csi, fullr + 1j * fulli, pp,
+                               guard_v[:, None], v, mask, conf.thop,
+                               cutoff_hz, a_spec,
+                               decimate=spec_decimate)
+        outr = re + delta.real * ur - delta.imag * ui
+        outi = im + delta.real * ui + delta.imag * ur
+        return (jnp.sqrt(outr * outr + outi * outi) * mask,
+                jnp.arctan2(outi, outr) * mask)
     else:
         c, align = _aligned_track(ampl, phse, cyc, centers)
         w = jnp.asarray(w_np, FP)
@@ -698,8 +705,9 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         # hybrid: per-bin spectral gate on the slow part (sparse true
         # spectrum there), per-frame time gate on the fast residual
         # (true fast dynamics are impulsive in time, flat in f)
-        out = out + _spectral_gate(c_s, r_inc, pp, guard, v, mask,
-                                   conf.thop, cutoff_hz, a_spec,
+        out = out + _spectral_gate(c_s, jnp.where(guard, c_s + r_inc,
+                                                  0.0), pp, guard, v,
+                                   mask, conf.thop, cutoff_hz, a_spec,
                                    decimate=spec_decimate)
     out = jnp.where(guard, out, c) * jnp.conj(align)
     return jnp.abs(out) * mask, jnp.angle(out) * mask

@@ -1006,16 +1006,18 @@ def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     csi_ref[:] = csi[h2:h2 + F]
 
 
-def _denoise_apply_kernel(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
-                          csi_ref, cy_ref, m_ref, gd_ref, or_ref, oi_ref,
-                          *, strength, K):
-    """Pass B: reload the aligned/slow tracks emitted by pass A, redo the
-    across-k fit WEIGHTED by wm [1, K] (both sides of the normal
-    equations, matching the jnp reference -- an earlier form weighted
-    only the Gram matrix), gate the incoherent fast residual against the
-    host-combined floor v [1, K], and emit the UN-aligned complex
-    harmonics (host converts to ampl/phse -- no atan2 in Mosaic).
-    Purely per-row work: no halo blocks, no FIR, no align recompute."""
+def _denoise_apply_body(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
+                        csi_ref, cy_ref, m_ref, gd_ref, *, strength, K):
+    """Shared pass-B math: reload the aligned/slow tracks emitted by pass
+    A, redo the across-k fit WEIGHTED by wm [1, K] (both sides of the
+    normal equations, matching the jnp reference -- an earlier form
+    weighted only the Gram matrix), gate the incoherent fast residual
+    against the host-combined floor v [1, K], and un-align.  Purely
+    per-row work: no halo blocks, no FIR, no align recompute.  Returns
+    (or, oi, rir, rii, ur, ui): the un-aligned gated complex harmonics,
+    the (aligned-domain) weighted-fit incoherent residual, and the
+    un-align rotation factors -- the latter two feed the spectral-gate
+    variant below."""
     cre = cre_ref[:]
     cim = cim_ref[:]
     csr = csr_ref[:]
@@ -1062,8 +1064,45 @@ def _denoise_apply_kernel(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
     ua = TWO_PI * pha
     ur = jnp.cos(ua)
     ui = jnp.sin(ua)
-    or_ref[:] = outr * ur - outi * ui
-    oi_ref[:] = outr * ui + outi * ur
+    return (outr * ur - outi * ui, outr * ui + outi * ur,
+            rir, rii, ur, ui)
+
+
+def _denoise_apply_kernel(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
+                          csi_ref, cy_ref, m_ref, gd_ref, or_ref, oi_ref,
+                          *, strength, K):
+    """Pass B (time-gate-only mode): emit the un-aligned gated complex
+    harmonics (host converts to ampl/phse -- no atan2 in Mosaic)."""
+    o_r, o_i, _, _, _, _ = _denoise_apply_body(
+        v_ref, wm_ref, cre_ref, cim_ref, csr_ref, csi_ref, cy_ref,
+        m_ref, gd_ref, strength=strength, K=K)
+    or_ref[:] = o_r
+    oi_ref[:] = o_i
+
+
+def _denoise_apply_spec_kernel(v_ref, wm_ref, cre_ref, cim_ref, csr_ref,
+                               csi_ref, cy_ref, m_ref, gd_ref, or_ref,
+                               oi_ref, fr_ref, fi_ref, ur_ref, ui_ref,
+                               *, strength, K):
+    """Pass B (spectral mode): additionally emit the guarded
+    aligned-domain full track c_s + r_inc (exactly what the spectral
+    gate's probe-level / Parseval-complement path consumes) and the
+    un-align rotation factors (so the host can rotate the
+    spectral-subtraction delta into the output domain without
+    recomputing the align transcendentals).  This is the 'kernel r_inc
+    output' that de-duplicates the jnp fit: the earlier restructure
+    (time gate in the kernel, fit REDONE in jnp for the delta) measured
+    2.4 ms/step slower at batch 128 -- see layer0._track_denoise."""
+    o_r, o_i, rir, rii, ur, ui = _denoise_apply_body(
+        v_ref, wm_ref, cre_ref, cim_ref, csr_ref, csi_ref, cy_ref,
+        m_ref, gd_ref, strength=strength, K=K)
+    guard = gd_ref[:] > 0.5
+    or_ref[:] = o_r
+    oi_ref[:] = o_i
+    fr_ref[:] = jnp.where(guard, csr_ref[:] + rir, 0.0)
+    fi_ref[:] = jnp.where(guard, csi_ref[:] + rii, 0.0)
+    ur_ref[:] = ur
+    ui_ref[:] = ui
 
 
 def _denoise_pack3(a, N, pad, block):
@@ -1129,13 +1168,23 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     return (pp[:N], cs2, r2, gd[:N, 0] > 0.5, cre, cim, csr, csi)
 
 
-@functools.partial(jax.jit, static_argnames=("strength", "block"))
+@functools.partial(jax.jit, static_argnames=("strength", "block",
+                                              "emit_resid"))
 def denoise_apply_pallas(cre, cim, csr, csi, cyc_c, mask, guard, v, wmul,
-                         strength: float, block: int = FRAME_BLOCK):
+                         strength: float, block: int = FRAME_BLOCK,
+                         emit_resid: bool = False):
     """Fused pass B: reload pass A's aligned/slow tracks, gate against
     the combined floor v [K] with the coherent fit weighted by wmul [K],
     and return the un-aligned complex harmonics (re, im) [N, K].  Purely
-    per-row work -- no halo views, no FIR recompute."""
+    per-row work -- no halo views, no FIR recompute.
+
+    emit_resid=True (spectral mode) additionally returns the guarded
+    aligned-domain full track where(guard, c_s + r_inc, 0) -- the
+    spectral gate's direct input -- and the un-align rotation factors
+    (ur, ui) so the host-side spectral gate runs WITHOUT re-deriving
+    the fit or the align transcendentals in jnp: four extra [N, K] f32
+    outputs (~0.7 ms of HBM at batch 128 on v5e) against the ~20
+    full-rate jnp passes they replace."""
     N, K = cre.shape
 
     def pack(a, width):
@@ -1145,23 +1194,25 @@ def denoise_apply_pallas(cre, cim, csr, csi, cyc_c, mask, guard, v, wmul,
     pad = (-N) % block
     nb = (N + pad) // block
     blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
-    re, im = pl.pallas_call(
-        functools.partial(_denoise_apply_kernel,
-                          strength=float(strength), K=K),
+    n_out = 6 if emit_resid else 2
+    kern = _denoise_apply_spec_kernel if emit_resid \
+        else _denoise_apply_kernel
+    outs = pl.pallas_call(
+        functools.partial(kern, strength=float(strength), K=K),
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, K), lambda i: (0, 0)),
                   pl.BlockSpec((1, K), lambda i: (0, 0)),
                   blk(K), blk(K), blk(K), blk(K), blk(1), blk(K), blk(1)],
-        out_specs=(blk(K), blk(K)),
-        out_shape=(jax.ShapeDtypeStruct((N + pad, K), jnp.float32),
-                   jax.ShapeDtypeStruct((N + pad, K), jnp.float32)),
+        out_specs=tuple(blk(K) for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((N + pad, K), jnp.float32)
+                        for _ in range(n_out)),
         interpret=_interpret(),
     )(v.reshape(1, K).astype(jnp.float32),
       wmul.reshape(1, K).astype(jnp.float32),
       pack(cre, K), pack(cim, K), pack(csr, K), pack(csi, K),
       pack(cyc_c, 1), pack(mask, K),
       pack(guard.astype(jnp.float32), 1))
-    return re[:N], im[:N]
+    return tuple(o[:N] for o in outs)
 
 
 def _fir_frames_kernel(prev_ref, cur_ref, next_ref, out_ref, *, taps):
