@@ -418,10 +418,11 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
     hb = jnp.asarray(_np.abs(f_np) > 2.0 * cutoff_hz)       # [NP] static
     nhb = float(max((_np.abs(f_np) > 2.0 * cutoff_hz).sum(), 1))
 
-    sg = jnp.where(guard, c_s, 0.0)
     if D > 1:
         Nd = (N + D - 1) // D
-        sg_d = sg[::D]                                      # [Nd, K]
+        # guarded slow track only at the decimated rows ([Nd, K] work,
+        # not [N, K]); the full-rate counterpart exists only via `full`
+        sg_d = jnp.where(guard[::D], c_s[::D], 0.0)
         NPd = 1 << max(int(Nd - 1).bit_length(), 4)
         Xs = jnp.fft.fft(sg_d, n=NPd, axis=0)               # [NPd, K]
         # probe-band level by PARSEVAL COMPLEMENT: sum over probe bins
@@ -439,6 +440,7 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
         low = jnp.sum(X_low.real**2 + X_low.imag**2, axis=0)
         lev_k = jnp.maximum(tot - low, 0.0) / (nhb * D)
     else:
+        sg = jnp.where(guard, c_s, 0.0)
         Xs = jnp.fft.fft(sg, n=NP, axis=0)                  # [NP, K]
         Xfull = jnp.fft.fft(full, n=NP, axis=0)
         Pfull = Xfull.real**2 + Xfull.imag**2

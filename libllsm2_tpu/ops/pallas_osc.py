@@ -1124,8 +1124,17 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     [N, K], raw fast power r2 [N, K], guard [N], plus the aligned track
     (cre, cim) and slow track (csr, csi) for pass B to reload (see
     layer0._track_denoise; the jnp formulation materializes a full array
-    per FIR tap and costed ~13 ms/step at batch 128)."""
+    per FIR tap and costed ~13 ms/step at batch 128).
+
+    Like pass B, the block prefers a divisor of N (floored at 64 so
+    the FIR halos stay well inside one block): the six [N+pad, K] ->
+    [:N] output slices then cost nothing."""
     N, K = ampl.shape
+    if N % block:
+        for cand in range(min(512, N) // 8 * 8, 63, -8):
+            if N % cand == 0:
+                block = cand
+                break
     # the 3-view halo covers at most one block on each side; the FIR
     # spans must fit (review finding: prev[F + d0:] silently mis-slices
     # otherwise)
@@ -1184,8 +1193,20 @@ def denoise_apply_pallas(cre, cim, csr, csi, cyc_c, mask, guard, v, wmul,
     (ur, ui) so the host-side spectral gate runs WITHOUT re-deriving
     the fit or the align transcendentals in jnp: four extra [N, K] f32
     outputs (~0.7 ms of HBM at batch 128 on v5e) against the ~20
-    full-rate jnp passes they replace."""
+    full-rate jnp passes they replace.
+
+    The kernel is pure per-row work, so the block size is free to be
+    any sublane multiple: prefer one that divides N exactly -- then
+    every input jnp.pad and output [:N] slice is an XLA identity
+    instead of a full-array copy (8 ins + up to 6 outs x ~65 MB of
+    pure copy traffic at batch 128 on the default 1600-frame bench
+    shape, where FRAME_BLOCK=128 leaves pad=64)."""
     N, K = cre.shape
+    if N % block:
+        for cand in range(min(512, N) // 8 * 8, 7, -8):
+            if N % cand == 0:
+                block = cand
+                break
 
     def pack(a, width):
         a2 = a.reshape(N, width).astype(jnp.float32)
