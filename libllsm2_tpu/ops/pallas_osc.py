@@ -973,7 +973,7 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
 def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                           m_p, m_c, m_n, vo_p, vo_c, vo_n,
                           pp_ref, gd_ref, cre_ref, cim_ref, csr_ref,
-                          csi_ref, *, taps1, taps2, K):
+                          csi_ref, *, taps1, taps2, K, edge_mask=False):
     """Pass A: probe power |hp(r_inc)|^2 and guard for the host-side
     floor / engagement / fit-weight statistics, PLUS the aligned complex
     track (cre, cim) and its FIR slow part (csr, csi) so pass B can
@@ -981,9 +981,23 @@ def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     frame-axis FIR (the recompute cost ~half of pass B; the extra HBM
     round trip of 4 [N, K] f32 arrays is ~10x cheaper on v5e).
     |c_s|^2 and |r|^2 for the host statistics are derived outside the
-    kernel from the emitted tracks (XLA fuses them into the stats)."""
+    kernel from the emitted tracks (XLA fuses them into the stats).
+
+    edge_mask=True: the caller passed UNPADDED inputs with clamped
+    prev/next index maps (halo-free path) -- the first block's prev view
+    and the last block's next view then alias the center block instead
+    of the physical zero halo, so zero them here to reproduce the
+    zero-padded-edge FIR semantics."""
     F = a_c.shape[0]
     h2 = len(taps2) // 2
+    if edge_mask:
+        i = pl.program_id(0)
+        pz = (i > 0).astype(jnp.float32)
+        nz = (i < pl.num_programs(0) - 1).astype(jnp.float32)
+        a_p, p_p, cy_p, m_p, vo_p = (r[:] * pz for r in
+                                     (a_p, p_p, cy_p, m_p, vo_p))
+        a_n, p_n, cy_n, m_n, vo_n = (r[:] * nz for r in
+                                     (a_n, p_n, cy_n, m_n, vo_n))
     (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
      m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                         m_p, m_c, m_n, vo_p, vo_c, vo_n,
@@ -1116,9 +1130,11 @@ def _denoise_spec3(width, block):
             pl.BlockSpec((block, width), lambda i: (i + 2, 0))]
 
 
-@functools.partial(jax.jit, static_argnames=("taps1", "taps2", "block"))
+@functools.partial(jax.jit, static_argnames=("taps1", "taps2", "block",
+                                              "_force_pad"))
 def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
-                         block: int = FRAME_BLOCK):
+                         block: int = FRAME_BLOCK,
+                         _force_pad: bool = False):
     """Fused pass A of the track denoiser: one read of the chunk fields
     -> probe-band incoherent power pp [N, K], slow-track power cs2
     [N, K], raw fast power r2 [N, K], guard [N], plus the aligned track
@@ -1128,7 +1144,9 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
 
     Like pass B, the block prefers a divisor of N (floored at 64 so
     the FIR halos stay well inside one block): the six [N+pad, K] ->
-    [:N] output slices then cost nothing."""
+    [:N] output slices then cost nothing, and the physical zero halo
+    (one full read+write copy of all five inputs) is replaced by
+    clamped prev/next index maps + in-kernel edge masking."""
     N, K = ampl.shape
     if N % block:
         for cand in range(min(512, N) // 8 * 8, 63, -8):
@@ -1141,20 +1159,32 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     assert len(taps1) // 2 + len(taps2) // 2 + len(taps2) // 2 < block, \
         "denoiser FIR halo exceeds one frame block"
     pad = (-N) % block
-    a3 = _denoise_pack3(ampl, N, pad, block)
-    p3 = _denoise_pack3(phse, N, pad, block)
-    cy3 = _denoise_pack3(cyc_c, N, pad, block)
-    m3 = _denoise_pack3(mask, N, pad, block)
-    vo3 = _denoise_pack3(voiced, N, pad, block)
-    nb = (N + pad) // block
+    halo_free = (pad == 0) and not _force_pad
+    if halo_free:
+        pk = lambda a: a.reshape(N, -1).astype(jnp.float32)
+        a3, p3, cy3, m3, vo3 = (pk(x) for x in
+                                (ampl, phse, cyc_c, mask, voiced))
+        nb = N // block
+        spec3 = lambda w: [
+            pl.BlockSpec((block, w), lambda i: (jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((block, w), lambda i: (i, 0)),
+            pl.BlockSpec((block, w),
+                         lambda i: (jnp.minimum(i + 1, nb - 1), 0))]
+    else:
+        a3 = _denoise_pack3(ampl, N, pad, block)
+        p3 = _denoise_pack3(phse, N, pad, block)
+        cy3 = _denoise_pack3(cyc_c, N, pad, block)
+        m3 = _denoise_pack3(mask, N, pad, block)
+        vo3 = _denoise_pack3(voiced, N, pad, block)
+        nb = (N + pad) // block
+        spec3 = lambda w: _denoise_spec3(w, block)
     pp, gd, cre, cim, csr, csi = pl.pallas_call(
         functools.partial(_denoise_stats_kernel,
                           taps1=tuple(float(t) for t in taps1),
-                          taps2=tuple(float(t) for t in taps2), K=K),
+                          taps2=tuple(float(t) for t in taps2), K=K,
+                          edge_mask=halo_free),
         grid=(nb,),
-        in_specs=(_denoise_spec3(K, block) + _denoise_spec3(K, block)
-                  + _denoise_spec3(1, block) + _denoise_spec3(K, block)
-                  + _denoise_spec3(1, block)),
+        in_specs=(spec3(K) + spec3(K) + spec3(1) + spec3(K) + spec3(1)),
         out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),
                    pl.BlockSpec((block, 1), lambda i: (i, 0)),
                    pl.BlockSpec((block, K), lambda i: (i, 0)),

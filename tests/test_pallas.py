@@ -487,3 +487,33 @@ def test_fir_frames_pallas_matches_numpy():
             sh[-d:] = v[:v.shape[0] + d]
         ref += t * sh
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_denoise_stats_halo_free_matches_padded():
+    """The halo-free stats path (clamped prev/next index maps +
+    in-kernel edge masking; taken whenever the block divides N) must be
+    bit-comparable to the physical-zero-halo path on the same inputs --
+    the edge masking must exactly reproduce the zero-padded FIR edges."""
+    import jax.numpy as jnp
+    from libllsm2_tpu.ops import pallas_osc
+
+    rng = np.random.default_rng(11)
+    N, K = 160, 24
+    ampl = jnp.asarray(rng.uniform(0.0, 1.0, (N, K)).astype(np.float32))
+    phse = jnp.asarray(rng.uniform(-3.1, 3.1, (N, K)).astype(np.float32))
+    cyc_c = jnp.asarray(np.cumsum(
+        rng.uniform(0.4, 0.6, (N,))).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(N, K)) > 0.1)
+                       .astype(np.float32))
+    voiced = jnp.asarray(
+        (np.arange(N) < int(0.85 * N)).astype(np.float32))
+    taps1 = tuple(np.hanning(13)[1:-1] / np.hanning(13)[1:-1].sum())
+    taps2 = tuple(np.hanning(9)[1:-1] / np.hanning(9)[1:-1].sum())
+    free = pallas_osc.denoise_stats_pallas(ampl, phse, cyc_c, mask,
+                                           voiced, taps1, taps2)
+    padded = pallas_osc.denoise_stats_pallas(ampl, phse, cyc_c, mask,
+                                             voiced, taps1, taps2,
+                                             _force_pad=True)
+    for a, b in zip(free, padded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
