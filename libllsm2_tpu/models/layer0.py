@@ -425,20 +425,27 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
         sg_d = jnp.where(guard[::D], c_s[::D], 0.0)
         NPd = 1 << max(int(Nd - 1).bit_length(), 4)
         Xs = jnp.fft.fft(sg_d, n=NPd, axis=0)               # [NPd, K]
-        # probe-band level by PARSEVAL COMPLEMENT: sum over probe bins
-        # = NP * sum_n |z_n|^2 (zero-padded-DFT Parseval, exact) minus
-        # the LOW bins' power, computed by a static low-bin DFT matmul
-        # -- the full-rate FFT this replaces was the gate's last big
-        # VPU-bound transform; the [n_low, N] contraction rides the MXU
-        low_n = _np.where(~(_np.abs(f_np) > 2.0 * cutoff_hz))[0]
-        Wlow = jnp.asarray(_np.exp(
-            (-2j * _np.pi / NP) * _np.outer(low_n, _np.arange(N))
-        ).astype(_np.complex64))                            # [L, N] const
-        X_low = jnp.einsum("ln,nk->lk", Wlow, full,
-                           precision=jax.lax.Precision.HIGHEST)
-        tot = NP * jnp.sum(full.real**2 + full.imag**2, axis=0)
-        low = jnp.sum(X_low.real**2 + X_low.imag**2, axis=0)
-        lev_k = jnp.maximum(tot - low, 0.0) / (nhb * D)
+        # probe-band level by a DIRECT static high-bin DFT matmul on the
+        # MXU (replaces the gate's last full-rate VPU FFT).  This is the
+        # only einsum in the codebase deliberately run at DEFAULT
+        # (single-pass bf16) precision: input rounding (~2^-8 relative)
+        # acts as additive broadband noise on the track at -48 dB whose
+        # SQUARED power spreads over all NP bins, biasing the high-bin
+        # sum by only ~1.6e-5 * tot -- <2% of lev_k even when the probe
+        # fraction is 1e-3.  (The earlier PARSEVAL-COMPLEMENT form
+        # "NP*sum|z|^2 minus a low-bin matmul" needed HIGHEST -- the
+        # tot-low subtraction cancels catastrophically, amplifying any
+        # matmul rounding by tot/probe -- and at 6-pass fp32 emulation
+        # its smaller [n_low, N] contraction cost MORE than this
+        # [n_high, N] one at one-pass bf16.)
+        high_n = _np.where(_np.abs(f_np) > 2.0 * cutoff_hz)[0]
+        Whigh = jnp.asarray(_np.exp(
+            (-2j * _np.pi / NP) * _np.outer(high_n, _np.arange(N))
+        ).astype(_np.complex64))                            # [H, N] const
+        X_high = jnp.einsum("ln,nk->lk", Whigh, full,
+                            precision=jax.lax.Precision.DEFAULT)
+        lev_k = jnp.sum(X_high.real**2 + X_high.imag**2,
+                        axis=0) / (nhb * D)
     else:
         sg = jnp.where(guard, c_s, 0.0)
         Xs = jnp.fft.fft(sg, n=NP, axis=0)                  # [NP, K]
