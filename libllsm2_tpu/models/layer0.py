@@ -424,7 +424,21 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
         # not [N, K]); the full-rate counterpart exists only via `full`
         sg_d = jnp.where(guard[::D], c_s[::D], 0.0)
         NPd = 1 << max(int(Nd - 1).bit_length(), 4)
-        Xs = jnp.fft.fft(sg_d, n=NPd, axis=0)               # [NPd, K]
+        # forward transform as a static DFT matmul on the MXU: XLA's
+        # TPU FFT is VPU-bound and slow at this [NPd, K] batch shape,
+        # while a [NPd, Nd] x [Nd, K] contraction rides the MXU.
+        # Single-pass bf16 is safe HERE because every consumer is
+        # error-tolerant: Ps feeds the Wiener profile (0.8% power
+        # error), and the subtraction delta is reconstructed from
+        # (g - 1) * Xs -- see below -- so forward rounding enters the
+        # delta only scaled by the gate depth in gated (noise-level)
+        # bins, never as a full-track-level residual.
+        Wf = jnp.asarray(_np.exp(
+            (-2j * _np.pi / NPd) * _np.outer(_np.arange(NPd),
+                                             _np.arange(Nd))
+        ).astype(_np.complex64))                            # [NPd, Nd]
+        Xs = jnp.einsum("pn,nk->pk", Wf, sg_d,
+                        precision=jax.lax.Precision.DEFAULT)
         # probe-band level by a DIRECT static high-bin DFT matmul on the
         # MXU (replaces the gate's last full-rate VPU FFT).  This is the
         # only einsum in the codebase deliberately run at DEFAULT
@@ -485,9 +499,19 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
     g = jnp.where((jnp.sum(wk) >= 3.0) & engaged[None, :], g, 1.0)
     if D > 1:
         # gate in the decimated domain, block-lerp the (band-limited)
-        # delta back to frame rate (gather-free: one reshape per block)
-        s_dn_d = jnp.fft.ifft(g * Xs, axis=0)[:Nd]
-        delta_d = s_dn_d - sg_d                             # [Nd, K]
+        # delta back to frame rate (gather-free: one reshape per block).
+        # The inverse transform is an MXU matmul applied to (g-1)*Xs,
+        # NOT to g*Xs: iDFT(g Xs) - sg_d would carry the transform
+        # round-trip rounding at full track level (-48 dB broadband at
+        # bf16 -- audible on clean engaged tracks), whereas iDFT of the
+        # gated DIFFERENCE is small by construction and its relative
+        # rounding stays relative to the delta itself.
+        Wi = jnp.asarray((_np.exp(
+            (2j * _np.pi / NPd) * _np.outer(_np.arange(Nd),
+                                            _np.arange(NPd))
+        ) / NPd).astype(_np.complex64))                     # [Nd, NPd]
+        delta_d = jnp.einsum("np,pk->nk", Wi, (g - 1.0) * Xs,
+                             precision=jax.lax.Precision.DEFAULT)
         nxt = jnp.concatenate([delta_d[1:], delta_d[-1:]], axis=0)
         wts = (jnp.arange(D, dtype=FP) / D)[None, :, None]
         up = delta_d[:, None, :] * (1.0 - wts) + nxt[:, None, :] * wts
