@@ -157,8 +157,19 @@ def _aligned_track(ampl, phse, cyc, centers):
     return ampl * jnp.exp(1j * phse) * align, align
 
 
+def _aligned_track_c(cr, ci, cyc, centers):
+    """_aligned_track from the raw COMPLEX track (re, im) -- the complex
+    handoff variant that skips the a e^{j phi} reconstruction."""
+    K = cr.shape[1]
+    kharm = jnp.arange(1, K + 1, dtype=FP)
+    ph = kharm[None, :] * cyc[centers][:, None]
+    ph = ph - jnp.round(ph)
+    align = jnp.exp(-2j * jnp.pi * ph)
+    return (cr + 1j * ci) * align, align
+
+
 def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
-                       mask):
+                       mask, return_complex: bool = False):
     """Analytic amplitude-track deconvolution (hm_correction="deconv").
 
     What the Gauss-Seidel render+reproject pass actually fixes is NOT
@@ -223,6 +234,14 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
         c_re, c_im = deconv_full_pallas(ampl, phse, cyc[centers],
                                         halfwidth, jnp.cos(ang),
                                         jnp.sin(ang), D, nhop, stride)
+        if return_complex:
+            # complex handoff to the fused track denoiser: skip the
+            # [N, K] sqrt + arctan2 here AND its inverse (a e^{j phi})
+            # inside the denoiser's stats kernel.  Masked slots must
+            # still be zeroed -- the banded deconv mixes neighbor
+            # frames, so dead slots are not exactly zero and would
+            # smear into the slow-track FIR.
+            return c_re * mask, c_im * mask
         return (jnp.sqrt(c_re**2 + c_im**2) * mask,
                 jnp.arctan2(c_im, c_re) * mask)
 
@@ -275,6 +294,8 @@ def _deconv_correction(opt: AnalysisOptions, f0, centers, cyc, ampl, phse,
             + Xc_band[:, j:j + 1] * sh[:, 2 * K:]
     c2 = 2.0 * c - Sm
     c2 = c2 * jnp.conj(align)
+    if return_complex:
+        return c2.real * mask, c2.imag * mask
     return jnp.abs(c2) * mask, jnp.angle(c2) * mask
 
 
@@ -452,14 +473,18 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
         # matmul rounding by tot/probe -- and at 6-pass fp32 emulation
         # its smaller [n_low, N] contraction cost MORE than this
         # [n_high, N] one at one-pass bf16.)
-        high_n = _np.where(_np.abs(f_np) > 2.0 * cutoff_hz)[0]
+        # every 2nd probe bin: lev_k is a MEAN over ~1400 bins that are
+        # only ~1.3x oversampled (NP/N), so half of them estimates it
+        # within ~3-4% -- far under the gate's own strength margin --
+        # and the [H, N] matmul halves
+        high_n = _np.where(_np.abs(f_np) > 2.0 * cutoff_hz)[0][::2]
         Whigh = jnp.asarray(_np.exp(
             (-2j * _np.pi / NP) * _np.outer(high_n, _np.arange(N))
-        ).astype(_np.complex64))                            # [H, N] const
+        ).astype(_np.complex64))                            # [H/2, N] const
         X_high = jnp.einsum("ln,nk->lk", Whigh, full,
                             precision=jax.lax.Precision.DEFAULT)
         lev_k = jnp.sum(X_high.real**2 + X_high.imag**2,
-                        axis=0) / (nhb * D)
+                        axis=0) / (float(max(len(high_n), 1)) * D)
     else:
         sg = jnp.where(guard, c_s, 0.0)
         Xs = jnp.fft.fft(sg, n=NP, axis=0)                  # [NP, K]
@@ -577,7 +602,8 @@ def _spectral_gate(c_s, full, pp, guard, v, mask, thop: float,
 def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
                    cutoff_hz: float, strength: float,
                    use_pallas: bool = False, spectral: bool = False,
-                   a_spec: float = 3.0, spec_decimate: int = 1):
+                   a_spec: float = 3.0, spec_decimate: int = 1,
+                   c_complex=None):
     """Default-on dynamics-adaptive harmonic-track denoiser
     (AnalysisOptions.track_denoise).
 
@@ -598,10 +624,15 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
     construction -- unlike the opt-in full lowpass (track_lowpass_hz),
     which buys the same ~+4 dB on breathy input but smears fast true
     dynamics.  Reference: layer0.c has no analog (its single-pass
-    analysis keeps the noise on the harmonics)."""
+    analysis keeps the noise on the harmonics).
+
+    c_complex: optional (re, im) RAW complex track -- the complex
+    handoff from _deconv_correction(return_complex=True); when given,
+    ampl/phse are ignored and the [N, K] a e^{j phi} reconstruction
+    (and the caller's sqrt + arctan2 that produced them) is skipped."""
     import numpy as _np
 
-    N, K = ampl.shape
+    N, K = (c_complex[0] if c_complex is not None else ampl).shape
     frame_rate = 1.0 / conf.thop
     M = int(round(frame_rate / cutoff_hz)) | 1          # odd tap count
     w_np = _np.hanning(M + 2)[1:-1]
@@ -627,13 +658,21 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         from ..ops.pallas_osc import (denoise_apply_pallas,
                                       denoise_stats_pallas)
         cyc_c = cyc[centers]
-        (pp, cs2, r2, guard_v, cre, cim, csr,
-         csi) = denoise_stats_pallas(ampl, phse, cyc_c, m,
-                                     voiced[:, None],
-                                     tuple(w_np), tuple(wp_np))
+        if c_complex is not None:
+            (pp, cs2, r2, guard_v, cre, cim, csr,
+             csi) = denoise_stats_pallas(c_complex[0], c_complex[1],
+                                         cyc_c, m, voiced[:, None],
+                                         tuple(w_np), tuple(wp_np),
+                                         complex_input=True)
+            amp2_m = (cre * cre + cim * cim) * m
+        else:
+            (pp, cs2, r2, guard_v, cre, cim, csr,
+             csi) = denoise_stats_pallas(ampl, phse, cyc_c, m,
+                                         voiced[:, None],
+                                         tuple(w_np), tuple(wp_np))
+            amp2_m = ampl * ampl * m
         ok = guard_v[:, None] & (m > 0)
-        v, wmul = _denoise_floor_stats(pp, cs2 * m, r2, ampl * ampl * m,
-                                       ok)
+        v, wmul = _denoise_floor_stats(pp, cs2 * m, r2, amp2_m, ok)
         if not spectral:
             re, im = denoise_apply_pallas(cre, cim, csr, csi, cyc_c, m,
                                           guard_v, v, wmul,
@@ -662,7 +701,11 @@ def _track_denoise(conf: ChunkConf, f0, cyc, centers, ampl, phse, mask,
         return (jnp.sqrt(outr * outr + outi * outi) * mask,
                 jnp.arctan2(outi, outr) * mask)
     else:
-        c, align = _aligned_track(ampl, phse, cyc, centers)
+        if c_complex is not None:
+            c, align = _aligned_track_c(c_complex[0], c_complex[1],
+                                        cyc, centers)
+        else:
+            c, align = _aligned_track(ampl, phse, cyc, centers)
         w = jnp.asarray(w_np, FP)
         h = M // 2
 
@@ -818,10 +861,19 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
     # back in, cancelling AM-sideband leakage between harmonics that a
     # single windowed projection leaves behind (opt.hm_passes) ---
     with jax.named_scope("llsm.analyze.residual"):
+        cplx = None
         if (opt.hm_correction == "deconv" and opt.hm_passes <= 1
                 and opt.hm_method == "czt"):
-            ampl, phse = _deconv_correction(opt, f0, centers, cyc, ampl,
-                                            phse, mask)
+            if opt.track_denoise and opt.track_lowpass_hz <= 0.0:
+                # complex handoff: the denoiser consumes the deconv's
+                # raw complex output directly, skipping one [N, K]
+                # sqrt + arctan2 pass and its a e^{j phi} inverse
+                cplx = _deconv_correction(opt, f0, centers, cyc, ampl,
+                                          phse, mask,
+                                          return_complex=True)
+            else:
+                ampl, phse = _deconv_correction(opt, f0, centers, cyc,
+                                                ampl, phse, mask)
         for _pass in range(max(opt.hm_passes - 1, 0)):
             segs = harmonics.oscillator_bank(
                 cyc, centers, ampl, phse, mask, nhop=nhop,
@@ -846,7 +898,8 @@ def _analyze_jit(opt: AnalysisOptions, x: jnp.ndarray, f0: jnp.ndarray) -> Chunk
                                         use_pallas=opt.use_pallas,
                                         spectral=opt.track_denoise_spectral,
                                         a_spec=opt.track_spectral_strength,
-                                        spec_decimate=opt.track_spectral_decimate)
+                                        spec_decimate=opt.track_spectral_decimate,
+                                        c_complex=cplx)
         if opt.track_lowpass_hz > 0.0:
             ampl, phse = _track_lowpass(conf, f0, cyc, centers, ampl,
                                         phse, mask, opt.track_lowpass_hz)

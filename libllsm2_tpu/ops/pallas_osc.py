@@ -884,14 +884,20 @@ def harmonic_project_mxu(x: jnp.ndarray, cyc: jnp.ndarray, hw: jnp.ndarray,
 
 def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                   m_p, m_c, m_n, vo_p, vo_c, vo_n, *, taps1, taps2,
-                  h_ext, F, K):
+                  h_ext, F, K, complex_input=False):
     """Body of the fused track-denoiser stats kernel: phase-aligned
     complex track c, frame-axis FIR slow part c_s, per-frame coherent
     across-k fit, incoherent residual r_inc and its high-band probe --
     all computed from the raw (ampl, phse, cyc_c, mask, voiced) blocks
     with a 3-view halo, for rows [-h_ext, F+h_ext) of the center block.
     Returns (cre, cim, csr, csi, rir, rii, prr, pri, guard) as [F+2*h_ext,
-    K]-shaped values (guard [rows, 1])."""
+    K]-shaped values (guard [rows, 1]).
+
+    complex_input=True: the (a, p) blocks carry the RAW COMPLEX track
+    (re, im) instead of (ampl, phse) -- the deconv kernel's own output
+    domain, so the analyze pipeline skips one [N, K] sqrt + arctan2
+    host pass between the two kernels (the re-derived trig here is one
+    sin/cos pair either way: align rotation vs align-plus-phse angle)."""
     kh = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + 1
           ).astype(jnp.float32)
 
@@ -917,11 +923,23 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     cy_all = rows(cy_p, cy_c, cy_n, span0, span1)
     m_all = rows(m_p, m_c, m_n, span0, span1)
     vo_all = rows(vo_p, vo_c, vo_n, span0, span1)
-    ph = p_all / TWO_PI - cy_all * kh
-    ph = ph - jnp.round(ph)
-    ang = TWO_PI * ph
-    cre_all = a_all * jnp.cos(ang)
-    cim_all = a_all * jnp.sin(ang)
+    if complex_input:
+        # align rotation e^{-2 pi j k cyc} applied to the raw complex
+        # track (a_all, p_all) = (re, im); cyc is mod-1 so k*cyc stays
+        # small enough for exact float32 frac
+        ph = -cy_all * kh
+        ph = ph - jnp.round(ph)
+        ang = TWO_PI * ph
+        ar = jnp.cos(ang)
+        ai = jnp.sin(ang)
+        cre_all = a_all * ar - p_all * ai
+        cim_all = a_all * ai + p_all * ar
+    else:
+        ph = p_all / TWO_PI - cy_all * kh
+        ph = ph - jnp.round(ph)
+        ang = TWO_PI * ph
+        cre_all = a_all * jnp.cos(ang)
+        cim_all = a_all * jnp.sin(ang)
 
     RA = span1 - span0                    # rows in the _all buffers
 
@@ -973,7 +991,8 @@ def _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
 def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                           m_p, m_c, m_n, vo_p, vo_c, vo_n,
                           pp_ref, gd_ref, cre_ref, cim_ref, csr_ref,
-                          csi_ref, *, taps1, taps2, K, edge_mask=False):
+                          csi_ref, *, taps1, taps2, K, edge_mask=False,
+                          complex_input=False):
     """Pass A: probe power |hp(r_inc)|^2 and guard for the host-side
     floor / engagement / fit-weight statistics, PLUS the aligned complex
     track (cre, cim) and its FIR slow part (csr, csi) so pass B can
@@ -1001,7 +1020,8 @@ def _denoise_stats_kernel(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
     (cre, cim, csr, csi, rcr, rci, rir, rii, guard,
      m) = _denoise_body(a_p, a_c, a_n, p_p, p_c, p_n, cy_p, cy_c, cy_n,
                         m_p, m_c, m_n, vo_p, vo_c, vo_n,
-                        taps1=taps1, taps2=taps2, h_ext=h2, F=F, K=K)
+                        taps1=taps1, taps2=taps2, h_ext=h2, F=F, K=K,
+                        complex_input=complex_input)
     # rows here span [-h2, F+h2); center block rows = [h2, h2+F)
     acc_r = None
     acc_i = None
@@ -1131,10 +1151,12 @@ def _denoise_spec3(width, block):
 
 
 @functools.partial(jax.jit, static_argnames=("taps1", "taps2", "block",
-                                              "_force_pad"))
+                                              "_force_pad",
+                                              "complex_input"))
 def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
                          block: int = FRAME_BLOCK,
-                         _force_pad: bool = False):
+                         _force_pad: bool = False,
+                         complex_input: bool = False):
     """Fused pass A of the track denoiser: one read of the chunk fields
     -> probe-band incoherent power pp [N, K], slow-track power cs2
     [N, K], raw fast power r2 [N, K], guard [N], plus the aligned track
@@ -1146,7 +1168,10 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
     the FIR halos stay well inside one block): the six [N+pad, K] ->
     [:N] output slices then cost nothing, and the physical zero halo
     (one full read+write copy of all five inputs) is replaced by
-    clamped prev/next index maps + in-kernel edge masking."""
+    clamped prev/next index maps + in-kernel edge masking.
+
+    complex_input=True: (ampl, phse) carry the raw complex track
+    (re, im) instead -- see _denoise_body."""
     N, K = ampl.shape
     if N % block:
         for cand in range(min(512, N) // 8 * 8, 63, -8):
@@ -1182,7 +1207,8 @@ def denoise_stats_pallas(ampl, phse, cyc_c, mask, voiced, taps1, taps2,
         functools.partial(_denoise_stats_kernel,
                           taps1=tuple(float(t) for t in taps1),
                           taps2=tuple(float(t) for t in taps2), K=K,
-                          edge_mask=halo_free),
+                          edge_mask=halo_free,
+                          complex_input=complex_input),
         grid=(nb,),
         in_specs=(spec3(K) + spec3(K) + spec3(1) + spec3(K) + spec3(1)),
         out_specs=(pl.BlockSpec((block, K), lambda i: (i, 0)),

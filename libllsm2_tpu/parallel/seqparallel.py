@@ -196,9 +196,15 @@ def _analyze_local(opt: AnalysisOptions, n_sh: int, n_frm: int, x_blk,
         fnyq=conf.fnyq, use_pallas=opt.use_pallas,
         frame_chunk=opt.frame_chunk, nhop=nhop,
         mxu=opt.hm_kernel == "matmul")
+    deconv_cplx = (opt.hm_correction == "deconv" and opt.hm_passes <= 1
+                   and opt.track_denoise and opt.track_lowpass_hz <= 0.0)
     if (opt.hm_correction == "deconv" and opt.hm_passes <= 1):
+        # complex handoff to the denoiser (mirrors layer0._analyze_jit:
+        # both paths must take the SAME numeric route or the sharded ==
+        # unsharded equality pins drift)
         ampl, phse = layer0._deconv_correction(opt, f0_b, centers_b, cyc_b,
-                                               ampl, phse, mask)
+                                               ampl, phse, mask,
+                                               return_complex=deconv_cplx)
     for _pass in range(max(opt.hm_passes - 1, 0)):
         segs = harmonics.oscillator_bank(cyc_b, centers_b, ampl, phse,
                                          mask, nhop=nhop,
@@ -227,12 +233,15 @@ def _analyze_local(opt: AnalysisOptions, n_sh: int, n_frm: int, x_blk,
     cycc_g = _gather_rows(ax, cyc_b[centers_b][sl])
     cg = jnp.arange(n_frm, dtype=jnp.int32)
     if opt.track_denoise and opt.track_lowpass_hz <= 0.0:
+        # when deconv_cplx, (a_g, p_g) hold the gathered raw complex
+        # (re, im) track -- pass it via the complex handoff
         a_g, p_g = layer0._track_denoise(
             conf, f0_g, cycc_g, cg, a_g, p_g, m_g, opt.track_denoise_hz,
             opt.track_denoise_strength, use_pallas=opt.use_pallas,
             spectral=opt.track_denoise_spectral,
             a_spec=opt.track_spectral_strength,
-            spec_decimate=opt.track_spectral_decimate)
+            spec_decimate=opt.track_spectral_decimate,
+            c_complex=(a_g, p_g) if deconv_cplx else None)
     if opt.track_lowpass_hz > 0.0:
         a_g, p_g = layer0._track_lowpass(conf, f0_g, cycc_g, cg, a_g, p_g,
                                          m_g, opt.track_lowpass_hz)

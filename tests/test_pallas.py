@@ -466,6 +466,42 @@ def test_track_denoise_fused_matches_jnp(spectral):
     np.testing.assert_allclose(z_p, z_j, atol=3e-3 * scale)
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_track_denoise_complex_handoff_matches(use_pallas):
+    """The complex handoff (c_complex=(re, im) straight from the deconv,
+    skipping the sqrt/arctan2 <-> a e^{j phi} round trip) must reproduce
+    the (ampl, phse) entry point on both backends: the two differ only
+    in trig decomposition order, so everything downstream (slow-track
+    FIR, fit, gate, spectral mode) is shared."""
+    import jax.numpy as jnp
+
+    x, f0, xh = testsig.synth_hard_utterance(
+        duration=0.8, register="female", seed=3, noise_level=0.05,
+        unvoiced_tail_frac=0.2)
+    opt = dataclasses.replace(create_aoptions(f0_floor=65.0),
+                              track_denoise=False)
+    conf = opt.conf
+    ch = layer0.analyze(opt, x, f0)
+    nhop, nfrm = conf.nhop, ch.nfrm
+    centers = jnp.arange(nfrm, dtype=jnp.int32) * nhop
+    cyc = harmonics.sample_cycles(jnp.asarray(ch.f0), nhop, conf.fs,
+                                  nfrm * nhop)
+    a_ref, p_ref = layer0._track_denoise(
+        conf, ch.f0, cyc, centers, ch.ampl, ch.phse, ch.hm_mask, 15.0,
+        8.0, use_pallas=use_pallas, spectral=True)
+    cr = ch.ampl * jnp.cos(ch.phse)
+    ci = ch.ampl * jnp.sin(ch.phse)
+    a_c, p_c = layer0._track_denoise(
+        conf, ch.f0, cyc, centers, None, None, ch.hm_mask, 15.0, 8.0,
+        use_pallas=use_pallas, spectral=True, c_complex=(cr, ci))
+    scale = float(np.abs(np.asarray(a_ref)).max())
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_ref),
+                               atol=2e-3 * scale)
+    z_r = np.asarray(a_ref) * np.exp(1j * np.asarray(p_ref))
+    z_c = np.asarray(a_c) * np.exp(1j * np.asarray(p_c))
+    np.testing.assert_allclose(z_c, z_r, atol=3e-3 * scale)
+
+
 def test_fir_frames_pallas_matches_numpy():
     """fir_frames_pallas (generic frame-axis FIR utility) must match a
     zero-padded numpy FIR exactly -- kept as the reference halo-FIR
